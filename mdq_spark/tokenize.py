@@ -1,0 +1,272 @@
+"""Xapian-compatible text tokenization (pure Python, Arrow-batch friendly).
+
+From-scratch reimplementation of the term-splitting algorithm the
+reference engine uses — ``parse_terms`` in
+``xapian-core-1.4.17/queryparser/termgenerator_internal.cc:140-247``
+(the tarball bundled in ``/root/reference/``) — plus the STEM_SOME
+dual-emission indexing strategy of ``TermGenerator::Internal::index_text``
+(same file, lines 249-315) that the reference invokes via
+``index_text_with_prefix`` / ``index_text`` (``/root/reference/src/document.rs:162-190``).
+
+Semantics reproduced exactly:
+
+* word characters = Unicode categories L*, M*, N*, Pc; lowercased
+* leading acronym folding: ``P.T.O.`` -> ``pto`` (>= 2 capitals)
+* infix joins inside words: ``'  &  U+00B7  U+05F4  U+2027`` (and the
+  Unicode apostrophes U+2019/U+201B normalized to ``'``); zero-width
+  characters dropped
+* digit separators ``, . ;`` (and friends) joined inside numbers: ``3,14``
+* trailing ``+`` / ``#`` kept, up to three: ``c++``, ``c#`` — but not when
+  followed by another word char (``fish+chips`` -> ``fish``, ``chips``)
+* terms longer than 64 **bytes** (UTF-8) are dropped
+  (``termgenerator_internal.h:44-49``)
+* STEM_SOME: each kept term is emitted twice — the exact form carrying a
+  position, and a ``Z``-prefixed Snowball-stemmed form without position;
+  terms whose first char is not a lowercase-able letter are not stemmed
+  (``should_stem``, ``termgenerator_internal.cc:63-73``).
+
+CJK n-gram mode is intentionally out of scope (corpus is source code;
+SURVEY.md §7 descope list).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Iterable, Iterator, NamedTuple, Optional
+
+from .stem import stem
+
+MAX_WORD_LENGTH = 64  # bytes of UTF-8 (termgenerator_internal.h:44-49)
+
+# Xapian is_wordchar: Lu Ll Lt Lm Lo Mn Me Mc Nd Nl No Pc
+_WORDCHAR_CATS = frozenset(
+    ["Lu", "Ll", "Lt", "Lm", "Lo", "Mn", "Me", "Mc", "Nd", "Nl", "No", "Pc"]
+)
+# should_stem: first char category of the (lowercased) term
+_STEM_CATS = frozenset(["Ll", "Lt", "Lm", "Lo"])
+
+_INFIX_KEEP = frozenset(["'", "&", "\u00b7", "\u05f4", "\u2027"])
+_INFIX_APOS = frozenset(["\u2019", "\u201b"])
+_DIGIT_SEPS = frozenset(
+    [",", ".", ";", "\u037e", "\u0589", "\u060d", "\u07f8",
+     "\u2044", "\ufe10", "\ufe13", "\ufe14"]
+)
+
+
+def _is_zero_width(ch: str) -> bool:
+    o = ord(ch)
+    return 0x200B <= o <= 0x200D or o == 0x2060 or o == 0xFEFF
+
+
+def _is_wordchar(ch: str) -> bool:
+    return unicodedata.category(ch) in _WORDCHAR_CATS
+
+
+def _lower(ch: str) -> str:
+    """Simple (single-codepoint) case folding, like Unicode::tolower."""
+    low = ch.lower()
+    return low if len(low) == 1 else ch
+
+
+def _is_digit(ch: str) -> bool:
+    return unicodedata.category(ch) == "Nd"
+
+
+def _is_upper_ascii(ch: str) -> bool:
+    return "A" <= ch <= "Z"
+
+
+class Token(NamedTuple):
+    term: str
+    positional: bool
+
+
+def parse_terms(text: str) -> Iterator[Token]:
+    """Yield word tokens (already lowercased) in document order.
+
+    Mirrors ``parse_terms`` (termgenerator_internal.cc:140-247) minus the
+    CJK branch.  ``positional`` mirrors the ``with_positions`` flag and is
+    always True here; the STEM_SOME layer decides which emitted *terms*
+    carry positions.
+    """
+    n = len(text)
+    i = 0
+    while True:
+        # advance to start of next term
+        while True:
+            if i >= n:
+                return
+            ch = text[i]
+            if _is_wordchar(ch):
+                break
+            i += 1
+
+        term_chars: list[str] = []
+
+        # acronym: initials separated by '.' (P.T.O.); >=2 caps, and not
+        # immediately followed by a word char
+        if _is_upper_ascii(text[i]):
+            p = i
+            while True:
+                term_chars.append(_lower(text[p]))
+                p += 1
+                # C++: `p != end && *p == '.' && ++p != end && U_isupper(*p)`
+                # — the dot is consumed as soon as it is seen, even when the
+                # char after it fails the uppercase test.
+                if p < n and text[p] == ".":
+                    p += 1
+                    if p < n and _is_upper_ascii(text[p]):
+                        continue
+                break
+            if len(term_chars) > 1:
+                if p >= n or not _is_wordchar(text[p]):
+                    i = p
+                    yield Token("".join(term_chars), True)
+                    continue
+            term_chars = []
+
+        # main word loop with infix handling
+        ch = _lower(text[i])
+        while True:
+            prevch = ch
+            term_chars.append(ch)
+            i += 1
+            if i >= n:
+                break
+            nxt = text[i]
+            if _is_wordchar(nxt):
+                ch = _lower(nxt)
+                continue
+            # possible infix: one non-word char with a word char after it
+            if i + 1 >= n:
+                break
+            after = text[i + 1]
+            if not _is_wordchar(after):
+                break
+            infix = nxt
+            if _is_digit(prevch) and _is_digit(after):
+                if infix in _DIGIT_SEPS:
+                    pass  # keep
+                elif _is_zero_width(infix):
+                    infix = ""
+                else:
+                    break
+            else:
+                if infix in _INFIX_KEEP:
+                    pass
+                elif infix in _INFIX_APOS:
+                    infix = "'"
+                elif _is_zero_width(infix):
+                    infix = ""
+                else:
+                    break
+            if infix:
+                term_chars.append(infix)
+            i += 1
+            ch = _lower(text[i])
+
+        # trailing '+'/'#' suffix, up to 3, not followed by a word char
+        base_len = len(term_chars)
+        count = 0
+        while i < n and text[i] in "+#":
+            count += 1
+            if count > 3:
+                del term_chars[base_len:]
+                break
+            term_chars.append(text[i])
+            i += 1
+        else:
+            if i < n and _is_wordchar(text[i]):
+                del term_chars[base_len:]
+
+        yield Token("".join(term_chars), True)
+
+
+def _should_stem(term: str) -> bool:
+    return bool(term) and unicodedata.category(term[0]) in _STEM_CATS
+
+
+def index_text(
+    text: str,
+    prefix: str = "",
+    start_pos: int = 0,
+    wdf_inc: int = 1,
+) -> tuple[list[tuple[str, Optional[int], int]], int]:
+    """STEM_SOME emission for one text run.
+
+    Returns ``(rows, cur_pos)`` where each row is
+    ``(term, position-or-None, wdf_inc)``:
+
+    * ``prefix + token`` with a 1-based position,
+    * ``"Z" + prefix + stem(token)`` without a position (stemmed terms are
+      skipped for tokens not starting with a letter).
+
+    Terms whose UTF-8 length exceeds 64 bytes are dropped entirely.
+    Mirrors termgenerator_internal.cc:249-315; position counter continues
+    across calls via ``start_pos`` exactly like ``TermGenerator`` state.
+    """
+    rows: list[tuple[str, Optional[int], int]] = []
+    cur_pos = start_pos
+    for term, _positional in parse_terms(text):
+        if len(term.encode("utf-8")) > MAX_WORD_LENGTH:
+            continue
+        cur_pos += 1
+        rows.append((prefix + term, cur_pos, wdf_inc))
+        if not _should_stem(term):
+            continue
+        st = stem(term)
+        if not st:
+            continue
+        rows.append(("Z" + prefix + st, None, wdf_inc))
+    return rows, cur_pos
+
+
+# Field -> Xapian prefix convention (reference src/document.rs:171-180 and
+# src/interactive/xapian_utils.rs:369-379).
+FIELD_PREFIXES = {
+    "authors": "A",
+    "date": "D",
+    "fullpath": "U",
+    "title": "S",
+    "subtitle": "XS",
+    "tags": "K",
+}
+
+
+def document_terms(doc: dict) -> list[tuple[str, Optional[int], int]]:
+    """Full STEM_SOME term stream for one document dict.
+
+    Field order and rendering mirror ``Document::update_index``
+    (reference ``src/document.rs:162-190``):
+    authors (comma-joined) -> date (RFC3339 UTC) -> fullpath -> title ->
+    subtitle -> one call per tag -> unprefixed body.  The position counter
+    is shared across all calls (one TermGenerator per document; Xapian
+    inserts no gap between ``index_text`` calls by default).
+    """
+    from .dates import render_rfc3339
+
+    rows: list[tuple[str, Optional[int], int]] = []
+    pos = 0
+    authors = doc.get("authors") or []
+    out, pos = index_text(",".join(authors), "A", pos)
+    rows.extend(out)
+    out, pos = index_text(render_rfc3339(doc.get("date", 0)), "D", pos)
+    rows.extend(out)
+    out, pos = index_text(doc.get("fullpath", "") or "", "U", pos)
+    rows.extend(out)
+    out, pos = index_text(doc.get("title", "") or "", "S", pos)
+    rows.extend(out)
+    out, pos = index_text(doc.get("subtitle", "") or "", "XS", pos)
+    rows.extend(out)
+    for tag in doc.get("tags") or []:
+        out, pos = index_text(tag, "K", pos)
+        rows.extend(out)
+    out, pos = index_text(doc.get("body", "") or "", "", pos)
+    rows.extend(out)
+    return rows
+
+
+def query_terms(text: str) -> list[str]:
+    """Tokenize a query-side text run (no stemming, no prefixes)."""
+    return [t.term for t in parse_terms(text)
+            if len(t.term.encode("utf-8")) <= MAX_WORD_LENGTH]

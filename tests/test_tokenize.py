@@ -1,0 +1,146 @@
+"""Golden tests for the Xapian-parity tokenizer.
+
+Expected token streams derived from the algorithm in
+xapian-core-1.4.17/queryparser/termgenerator_internal.cc:140-247
+(bundled tarball under /root/reference/); edge cases listed in
+FIXTURES.md §1 (c++, c#, AT&T, P.T.O., don't, 3,14, 64+-byte tokens).
+"""
+
+from mdq_spark.tokenize import (
+    document_terms,
+    index_text,
+    parse_terms,
+    query_terms,
+)
+
+
+def toks(s):
+    return [t.term for t in parse_terms(s)]
+
+
+def test_basic_words():
+    assert toks("Hello World") == ["hello", "world"]
+
+
+def test_underscore_is_wordchar():
+    assert toks("snake_case foo") == ["snake_case", "foo"]
+
+
+def test_cpp_csharp_suffix():
+    assert toks("c++ and c# code") == ["c++", "and", "c#", "code"]
+
+
+def test_suffix_max_three():
+    assert toks("c++++") == ["c"]
+    assert toks("a+++ b") == ["a+++", "b"]
+
+
+def test_suffix_followed_by_wordchar_dropped():
+    # "Don't index fish+chips as fish+ chips" (termgenerator_internal.cc:238)
+    assert toks("fish+chips") == ["fish", "chips"]
+
+
+def test_acronym():
+    assert toks("P.T.O. next") == ["pto", "next"]
+    assert toks("U.N.C.L.E") == ["uncle"]
+    # one letter is not an acronym
+    assert toks("M&S") == ["m&s"]
+    # followed by wordchar -> not an acronym
+    assert toks("A.B.c") == ["a", "b", "c"]
+
+
+def test_ampersand_infix():
+    assert toks("AT&T rocks") == ["at&t", "rocks"]
+
+
+def test_apostrophe_infix():
+    assert toks("don't stop") == ["don't", "stop"]
+    assert toks("don’t stop") == ["don't", "stop"]
+
+
+def test_digit_separators():
+    assert toks("3,14 and 1.5") == ["3,14", "and", "1.5"]
+    # digit separators only join digit-digit
+    assert toks("a,b") == ["a", "b"]
+
+
+def test_trailing_separator_not_joined():
+    assert toks("pi is 3, yes") == ["pi", "is", "3", "yes"]
+
+
+def test_number_then_word():
+    assert toks("x86 arch 2nd") == ["x86", "arch", "2nd"]
+
+
+def test_64_byte_limit():
+    long_tok = "a" * 65
+    rows, _ = index_text(f"keep {long_tok} kept")
+    terms = [r[0] for r in rows]
+    assert "keep" in terms and "kept" in terms
+    assert long_tok not in terms
+    ok_tok = "b" * 64
+    rows, _ = index_text(ok_tok)
+    assert ok_tok in [r[0] for r in rows]
+
+
+def test_zero_width_dropped():
+    assert toks("foo​bar") == ["foobar"]
+
+
+def test_stem_some_dual_emission():
+    rows, pos = index_text("Running dogs")
+    assert rows == [
+        ("running", 1, 1),
+        ("Zrun", None, 1),
+        ("dogs", 2, 1),
+        ("Zdog", None, 1),
+    ]
+    assert pos == 2
+
+
+def test_no_stem_for_digit_start():
+    rows, _ = index_text("3,14")
+    assert rows == [("3,14", 1, 1)]
+
+
+def test_prefix_emission():
+    rows, _ = index_text("Rust", prefix="K")
+    assert rows == [("Krust", 1, 1), ("ZKrust", None, 1)]
+
+
+def test_position_continues_across_fields():
+    rows1, pos = index_text("one two", "S", 0)
+    rows2, pos = index_text("three", "", pos)
+    assert rows2[0] == ("three", 3, 1)
+
+
+def test_document_terms_field_order():
+    doc = {
+        "authors": ["Steve Sosik"],
+        "date": 1611066204,
+        "fullpath": "notes/vim.md",
+        "title": "Grep buffers in Vim",
+        "subtitle": "",
+        "tags": ["vim", "grep"],
+        "body": "Run this command to grep",
+    }
+    rows = document_terms(doc)
+    terms = [r[0] for r in rows]
+    # authors first, prefixed A
+    assert terms[0] == "Asteve"
+    assert "ZAsteve" in terms
+    # date indexed under D as RFC3339 rendering
+    assert any(t.startswith("D2021") for t in terms)
+    # title under S, stemmed variant under ZS
+    assert "Sgrep" in terms and "ZSbuffer" in terms
+    # tags under K, one index_text call per tag
+    assert "Kvim" in terms and "Kgrep" in terms
+    # body unprefixed
+    assert "command" in terms and "Zcommand" in terms
+    # doclen parity: every row contributes wdf -> stemmed rows double count
+    positions = [r[1] for r in rows if r[1] is not None]
+    assert positions == sorted(positions)
+
+
+def test_query_terms():
+    assert query_terms("Foo BAR") == ["foo", "bar"]
