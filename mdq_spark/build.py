@@ -1,0 +1,314 @@
+"""Distributed inverted-index build (SURVEY.md §2.5 A1-A3, §3.1).
+
+Spark-first pipeline, every stage a checkpointed parquet write so the
+build is resumable from per-partition checkpoints (north rule):
+
+  docs ──mapInPandas(tokenize)──▶ terms staging
+       ├─ groupBy(doc) ▶ docstats / globalstats
+       ├─ groupBy(term) ▶ dict (df, cf, wdf_max)
+       └─ groupBy(term, doc-range block) ▶ postings (delta+varint blocks)
+
+Index layout under ``<out_dir>/``:
+
+* ``docs/``        forward store, sorted by doc_id (row payload; replaces
+                   the reference's ``set_data`` JSON blob, SURVEY.md §1.4)
+* ``terms/``       tokenized staging = the resume checkpoint
+* ``docstats/``    doc_id -> doclen (sum of wdf incl. Z-stem rows — A3)
+* ``globalstats/`` N, total/avg doclen, bounds (A2)
+* ``dict/``        per-term df/cf/wdf_max, hash-bucketed (A2)
+* ``postings/``    per (term, doc-range block): delta-gap+varint docid
+                   run, varint wdfs, varint doclens (denormalized to keep
+                   scoring join-free), positions, and the block-max score
+                   bound for WAND pruning (O3)
+* ``manifest.json`` build params, stage lineage, metrics (docs/sec,
+                   postings/sec, skew factor)
+
+Skew strategy: blocks are keyed by *doc-id range* (``doc_id //
+block_span``), not by count.  A hot term (df in the billions) therefore
+shatters into many independent (term, block) groups — the salted
+repartition the north rule asks for, with the salt chosen so that the
+final posting runs are already docid-sorted and disjoint: no sorted-merge
+pass is needed afterwards, and no Python worker ever materializes more
+than ``block_span`` postings of one term.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+from typing import Iterable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+from . import bm25
+from .codec import encode_doc_gaps, encode_positions, varint_encode
+
+DEFAULT_BLOCK_SPAN = 1 << 16
+DEFAULT_N_BUCKETS = 64
+
+DOCS_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("fullpath", StringType(), True),
+    StructField("title", StringType(), True),
+    StructField("subtitle", StringType(), True),
+    StructField("authors", ArrayType(StringType()), True),
+    StructField("date", LongType(), True),
+    StructField("tags", ArrayType(StringType()), True),
+    StructField("weight", IntegerType(), True),
+    StructField("writes", IntegerType(), True),
+    StructField("views", IntegerType(), True),
+    StructField("body", StringType(), True),
+    StructField("sha256", StringType(), True),
+])
+
+TERMS_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("bucket", IntegerType(), False),
+    StructField("block", LongType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("wdf", IntegerType(), False),
+    StructField("doclen", IntegerType(), False),
+    StructField("positions", ArrayType(IntegerType()), True),
+])
+
+POSTINGS_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("bucket", IntegerType(), False),
+    StructField("block", LongType(), False),
+    StructField("first_doc", LongType(), False),
+    StructField("last_doc", LongType(), False),
+    StructField("n", IntegerType(), False),
+    StructField("doc_gaps", BinaryType(), False),
+    StructField("wdfs", BinaryType(), False),
+    StructField("doclens", BinaryType(), False),
+    StructField("positions", BinaryType(), True),
+    StructField("block_max_wdf", IntegerType(), False),
+    StructField("block_max_part", DoubleType(), False),
+])
+
+
+def term_bucket(term: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
+    """Stable cross-process term -> bucket hash (partition pruning key)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _tokenize_batches(n_buckets: int, block_span: int):
+    """mapInPandas kernel: docs rows -> per-(doc, term) rows, map-side
+    pre-aggregated (wdf summed, positions collected) so the shuffle moves
+    one row per (doc, term), not one per token."""
+    from .tokenize import document_terms
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "term": [], "bucket": [], "block": [], "doc_id": [],
+                "wdf": [], "doclen": [], "positions": [],
+            }
+            for row in pdf.itertuples(index=False):
+                doc = row._asdict()
+                did = int(doc["doc_id"])
+                agg: dict = {}
+                doclen = 0
+                for term, pos, wdf_inc in document_terms(doc):
+                    doclen += wdf_inc
+                    ent = agg.get(term)
+                    if ent is None:
+                        ent = agg[term] = [0, []]
+                    ent[0] += wdf_inc
+                    if pos is not None:
+                        ent[1].append(pos)
+                blk = did // block_span
+                for term, (wdf, positions) in agg.items():
+                    out["term"].append(term)
+                    out["bucket"].append(term_bucket(term, n_buckets))
+                    out["block"].append(blk)
+                    out["doc_id"].append(did)
+                    out["wdf"].append(wdf)
+                    out["doclen"].append(doclen)
+                    out["positions"].append(positions if positions else None)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _encode_block(lf: float):
+    """applyInPandas kernel for one (term, bucket, block) group -> one
+    encoded posting-block row.  ``lf`` is 1/avg_doclen, needed for the
+    block-max score bound (bm25weight.cc:176-201 adapted per-block)."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, bucket, block = key
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = pdf["doc_id"].to_numpy()
+        wdfs = pdf["wdf"].to_numpy()
+        doclens = pdf["doclen"].to_numpy()
+        import numpy as np
+        normlen = np.maximum(doclens * lf, bm25.MIN_NORMLEN)
+        parts = wdfs / (bm25.K1 * (normlen * bm25.B + (1 - bm25.B)) + wdfs)
+        pos_col = pdf["positions"]
+        has_pos = pos_col.map(lambda v: v is not None and len(v) > 0).any()
+        pos_buf = None
+        if has_pos:
+            pos_buf = encode_positions(
+                [list(v) if v is not None else [] for v in pos_col])
+        return pd.DataFrame([{
+            "term": term,
+            "bucket": int(bucket),
+            "block": int(block),
+            "first_doc": int(doc_ids[0]),
+            "last_doc": int(doc_ids[-1]),
+            "n": len(doc_ids),
+            "doc_gaps": encode_doc_gaps(doc_ids),
+            "wdfs": varint_encode(wdfs),
+            "doclens": varint_encode(doclens),
+            "positions": pos_buf,
+            "block_max_wdf": int(wdfs.max()),
+            "block_max_part": float(parts.max()),
+        }])
+
+    return fn
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+class IndexBuilder:
+    """Builds (or resumes) an index at ``out_dir`` from a docs DataFrame."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 block_span: int = DEFAULT_BLOCK_SPAN,
+                 n_buckets: int = DEFAULT_N_BUCKETS):
+        self.spark = spark
+        self.out = out_dir.rstrip("/")
+        self.block_span = block_span
+        self.n_buckets = n_buckets
+        self.metrics: dict = {}
+
+    def path(self, name: str) -> str:
+        return f"{self.out}/{name}"
+
+    def build(self, docs_df: DataFrame, force: bool = False) -> dict:
+        t_start = time.time()
+        stages = []
+
+        # stage 1: forward store (sorted by doc_id for pushdown lookups)
+        p_docs = self.path("docs")
+        if force or not _stage_done(p_docs):
+            t0 = time.time()
+            (docs_df.repartitionByRange("doc_id")
+             .sortWithinPartitions("doc_id")
+             .write.mode("overwrite").parquet(p_docs))
+            stages.append({"stage": "docs", "sec": time.time() - t0})
+        docs = self.spark.read.parquet(p_docs)
+        n_docs = docs.count()
+
+        # stage 2: tokenize -> terms staging (the resume checkpoint)
+        p_terms = self.path("terms")
+        if force or not _stage_done(p_terms):
+            t0 = time.time()
+            terms = docs.mapInPandas(
+                _tokenize_batches(self.n_buckets, self.block_span),
+                schema=TERMS_SCHEMA)
+            terms.write.mode("overwrite").parquet(p_terms)
+            stages.append({"stage": "terms", "sec": time.time() - t0})
+        terms = self.spark.read.parquet(p_terms)
+
+        # stage 3: doc + collection statistics (A2/A3)
+        p_docstats = self.path("docstats")
+        if force or not _stage_done(p_docstats):
+            t0 = time.time()
+            (terms.groupBy("doc_id")
+             .agg(F.max("doclen").alias("doclen"))
+             .write.mode("overwrite").parquet(p_docstats))
+            stages.append({"stage": "docstats", "sec": time.time() - t0})
+        docstats = self.spark.read.parquet(p_docstats)
+
+        p_global = self.path("globalstats")
+        if force or not _stage_done(p_global):
+            t0 = time.time()
+            (docstats.agg(
+                F.count("doc_id").alias("n_docs"),
+                F.sum("doclen").alias("total_doclen"),
+                F.min("doclen").alias("doclen_lb"),
+                F.max("doclen").alias("doclen_ub"),
+            ).withColumn(
+                "avg_doclen",
+                F.col("total_doclen") / F.col("n_docs"))
+             .write.mode("overwrite").parquet(p_global))
+            stages.append({"stage": "globalstats", "sec": time.time() - t0})
+        gstats = self.spark.read.parquet(p_global).collect()[0].asDict()
+
+        # stage 4: dictionary (term stats; drives termweights + wildcards)
+        p_dict = self.path("dict")
+        if force or not _stage_done(p_dict):
+            t0 = time.time()
+            (terms.groupBy("term", "bucket")
+             .agg(F.count("doc_id").alias("df"),
+                  F.sum("wdf").alias("cf"),
+                  F.max("wdf").alias("wdf_max"))
+             .repartition("bucket")
+             .sortWithinPartitions("term")
+             .write.mode("overwrite")
+             .partitionBy("bucket").parquet(p_dict))
+            stages.append({"stage": "dict", "sec": time.time() - t0})
+
+        # stage 5: posting blocks (delta+varint, block-max bounds)
+        p_post = self.path("postings")
+        if force or not _stage_done(p_post):
+            t0 = time.time()
+            lf = bm25.len_factor(float(gstats["avg_doclen"] or 0.0))
+            (terms.groupBy("term", "bucket", "block")
+             .applyInPandas(_encode_block(lf), schema=POSTINGS_SCHEMA)
+             .repartition("bucket")
+             .sortWithinPartitions("term", "block")
+             .write.mode("overwrite")
+             .partitionBy("bucket").parquet(p_post))
+            stages.append({"stage": "postings", "sec": time.time() - t0})
+
+        # metrics + manifest (lineage per north rule)
+        wall = time.time() - t_start
+        dict_df = self.spark.read.parquet(p_dict)
+        agg = dict_df.agg(
+            F.sum("df").alias("n_postings"),
+            F.max("df").alias("max_df"),
+            F.avg("df").alias("avg_df"),
+            F.count("term").alias("n_terms")).collect()[0]
+        n_postings = int(agg["n_postings"] or 0)
+        skew = float(agg["max_df"] / agg["avg_df"]) if agg["avg_df"] else 0.0
+        self.metrics = {
+            "n_docs": n_docs,
+            "n_terms": int(agg["n_terms"]),
+            "n_postings": n_postings,
+            "wall_sec": wall,
+            "docs_per_sec": n_docs / wall if wall else 0.0,
+            "postings_per_sec": n_postings / wall if wall else 0.0,
+            "term_df_skew_factor": skew,
+            "avg_doclen": float(gstats["avg_doclen"] or 0.0),
+        }
+        manifest = {
+            "format_version": 1,
+            "block_span": self.block_span,
+            "n_buckets": self.n_buckets,
+            "globalstats": {k: (float(v) if v is not None else None)
+                            for k, v in gstats.items()},
+            "stages": stages,
+            "metrics": self.metrics,
+        }
+        with open(self.path("manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return manifest
+
+
+def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
+                **kw) -> dict:
+    force = kw.pop("force", False)
+    return IndexBuilder(spark, out_dir, **kw).build(docs_df, force=force)

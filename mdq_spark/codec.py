@@ -1,0 +1,119 @@
+"""Delta-gap + varint codec for posting runs (numpy-vectorized).
+
+The north rule requires explicit "delta-gap + varint compression of
+docID runs" — the same scheme the reference's storage layer uses:
+docids within a chunk are gap-encoded (``pack_uint(chunk, did -
+current_did - 1)``, xapian-core:backends/glass/glass_postlist.cc:365)
+with an LEB128-style varint (7 bits per byte, high-bit continuation,
+xapian-core:common/pack.h:380-391).
+
+This module is from-scratch numpy: encode/decode whole blocks at a time
+(no per-value Python loop on the hot path — loops run over *byte
+positions* (<=10) not values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 10  # 64-bit value -> at most 10 LEB128 bytes
+
+
+def varint_encode(values) -> bytes:
+    """LEB128-encode a sequence of non-negative ints."""
+    arr = np.asarray(values, dtype=np.uint64)
+    n = len(arr)
+    if n == 0:
+        return b""
+    out = np.zeros((n, _MAX_BYTES), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int64)
+    v = arr.copy()
+    active = np.ones(n, dtype=bool)
+    for i in range(_MAX_BYTES):
+        if not active.any():
+            break
+        byte = (v & np.uint64(0x7F)).astype(np.uint8)
+        v = v >> np.uint64(7)
+        more = v > 0
+        out[active, i] = (byte | (more.astype(np.uint8) << 7))[active]
+        lens[active] = i + 1
+        active = active & more
+    # row-major flatten keeping only the first lens[r] bytes of row r
+    col = np.arange(_MAX_BYTES)
+    mask = col[None, :] < lens[:, None]
+    return out[mask].tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 buffer -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero(b < 128)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    maxlen = int((ends - starts).max()) + 1
+    for j in range(maxlen):
+        idx = starts + j
+        sel = idx <= ends
+        vals[sel] |= (b[idx[sel]].astype(np.uint64) & np.uint64(0x7F)) \
+            << np.uint64(7 * j)
+    if count is not None and len(vals) != count:
+        raise ValueError(f"decoded {len(vals)} values, expected {count}")
+    return vals
+
+
+def encode_doc_gaps(doc_ids) -> bytes:
+    """Delta-gap encode a sorted docid run: first value absolute, then
+    ``did - prev - 1`` gaps (glass_postlist.cc:365 convention)."""
+    arr = np.asarray(doc_ids, dtype=np.uint64)
+    if len(arr) == 0:
+        return b""
+    gaps = np.empty_like(arr)
+    gaps[0] = arr[0]
+    if len(arr) > 1:
+        gaps[1:] = arr[1:] - arr[:-1] - 1
+    return varint_encode(gaps)
+
+
+def decode_doc_gaps(buf: bytes, count: int | None = None) -> np.ndarray:
+    gaps = varint_decode(buf, count)
+    if len(gaps) == 0:
+        return gaps
+    out = gaps.copy()
+    out[1:] += 1
+    return np.cumsum(out, dtype=np.uint64)
+
+
+def encode_positions(pos_lists) -> bytes:
+    """Per-doc position lists -> one buffer: for each doc, varint count
+    then delta-gap encoded positions (first absolute, then gap-1)."""
+    flat = []
+    for pl in pos_lists:
+        pl = sorted(pl)
+        flat.append(len(pl))
+        prev = None
+        for p in pl:
+            flat.append(p if prev is None else p - prev - 1)
+            prev = p
+    return varint_encode(np.asarray(flat, dtype=np.uint64))
+
+
+def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
+    vals = varint_decode(buf)
+    out = []
+    i = 0
+    for _ in range(n_docs):
+        cnt = int(vals[i])
+        i += 1
+        seg = vals[i:i + cnt].copy()
+        if cnt:
+            seg[1:] += 1
+            seg = np.cumsum(seg, dtype=np.uint64)
+        out.append(seg)
+        i += cnt
+    if i != len(vals):
+        raise ValueError("positions buffer length mismatch")
+    return out

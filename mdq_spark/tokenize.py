@@ -245,23 +245,41 @@ def document_terms(doc: dict) -> list[tuple[str, Optional[int], int]]:
     """
     from .dates import render_rfc3339
 
+    def _aslist(v) -> list:
+        # tolerate numpy arrays from Arrow batches
+        if v is None:
+            return []
+        if isinstance(v, (list, tuple)):
+            return [str(x) for x in v]
+        if isinstance(v, str):
+            return [v]
+        try:
+            return [str(x) for x in v]
+        except TypeError:
+            return [str(v)]
+
+    def _asstr(v) -> str:
+        return "" if v is None else str(v)
+
     rows: list[tuple[str, Optional[int], int]] = []
     pos = 0
-    authors = doc.get("authors") or []
+    authors = _aslist(doc.get("authors"))
     out, pos = index_text(",".join(authors), "A", pos)
     rows.extend(out)
-    out, pos = index_text(render_rfc3339(doc.get("date", 0)), "D", pos)
+    date = doc.get("date", 0)
+    out, pos = index_text(render_rfc3339(0 if date is None else date),
+                          "D", pos)
     rows.extend(out)
-    out, pos = index_text(doc.get("fullpath", "") or "", "U", pos)
+    out, pos = index_text(_asstr(doc.get("fullpath")), "U", pos)
     rows.extend(out)
-    out, pos = index_text(doc.get("title", "") or "", "S", pos)
+    out, pos = index_text(_asstr(doc.get("title")), "S", pos)
     rows.extend(out)
-    out, pos = index_text(doc.get("subtitle", "") or "", "XS", pos)
+    out, pos = index_text(_asstr(doc.get("subtitle")), "XS", pos)
     rows.extend(out)
-    for tag in doc.get("tags") or []:
+    for tag in _aslist(doc.get("tags")):
         out, pos = index_text(tag, "K", pos)
         rows.extend(out)
-    out, pos = index_text(doc.get("body", "") or "", "", pos)
+    out, pos = index_text(_asstr(doc.get("body")), "", pos)
     rows.extend(out)
     return rows
 

@@ -1,0 +1,198 @@
+"""End-to-end Spark engine tests: index build + query execution must be
+rank+score identical to the pure-Python oracle (SURVEY.md §5.2)."""
+
+import json
+import os
+
+import pytest
+
+from conftest import assert_results_match
+from mdq_spark.build import DOCS_SCHEMA, build_index
+from mdq_spark.oracle import OracleIndex
+from mdq_spark.search import Searcher
+
+pytestmark = pytest.mark.spark
+
+
+DOCS = [
+    dict(doc_id=1, fullpath="org/a/readme.md", title="Spark Engine Intro",
+         subtitle="", authors=["ada"], date=1600000000, tags=["rust"],
+         weight=0, writes=0, views=0,
+         body="the spark query engine compiles plans quickly"),
+    dict(doc_id=2, fullpath="org/a/src.md", title="sorting",
+         subtitle="internals", authors=["ada", "bob"], date=1600003600,
+         tags=["rust", "perf"], weight=0, writes=0, views=0,
+         body="spark spark spark shuffles and sorts large data"),
+    dict(doc_id=3, fullpath="org/b/notes.md", title="query planner",
+         subtitle="", authors=["bob"], date=1600007200, tags=["python"],
+         weight=0, writes=0, views=0,
+         body="query planner costs and cardinality estimates"),
+    dict(doc_id=4, fullpath="org/b/fox.md", title="animals",
+         subtitle="", authors=["cyd"], date=1600010800, tags=[],
+         weight=0, writes=0, views=0,
+         body="the quick brown fox jumps over the lazy dog"),
+    dict(doc_id=5, fullpath="org/c/fox2.md", title="more animals",
+         subtitle="", authors=["cyd"], date=1600014400, tags=["python"],
+         weight=0, writes=0, views=0,
+         body="quick brown foxes jumping quickly around"),
+    dict(doc_id=6, fullpath="org/c/hee.md", title="laughter",
+         subtitle="", authors=["dan"], date=1600018000, tags=[],
+         weight=0, writes=0, views=0, body="hee hee hee spark"),
+    dict(doc_id=7, fullpath="org/c/hee2.md", title="hee",
+         subtitle="", authors=["dan"], date=1600021600, tags=["rust"],
+         weight=0, writes=0, views=0, body="hee spark hee"),
+    dict(doc_id=8, fullpath="org/d/misc.md", title="misc",
+         subtitle="", authors=[], date=1600025200, tags=[],
+         weight=0, writes=0, views=0,
+         body="c++ and c# code with AT&T's 3,14 tokens P.T.O. don't"),
+    dict(doc_id=9, fullpath="org/d/tie1.md", title="tie",
+         subtitle="", authors=[], date=1600028800, tags=[],
+         weight=0, writes=0, views=0, body="zig zag"),
+    dict(doc_id=10, fullpath="org/d/tie2.md", title="tie",
+         subtitle="", authors=[], date=1600032400, tags=[],
+         weight=0, writes=0, views=0, body="zig zag"),
+]
+
+QUERIES = [
+    "spark",
+    "spark ",
+    "quick brown",
+    '"quick brown" ',
+    '"hee hee hee" ',
+    "spark AND query",
+    "spark AND NOT query",
+    "planner OR fox",
+    "spark XOR query",
+    "quick AND MAYBE lazy",
+    "quick FILTER lazy",
+    "spark NEAR shuffles",
+    "title:hee ",
+    "tag:rust ",
+    "author:bob quick",
+    'title:"query planner" ',
+    "qui",
+    "zig ",
+    "c++ ",
+    "don't ",
+    "3,14 ",
+    "pto ",
+    "NOT spark AND quick",
+    "x SCALED 2",
+    "jumping",
+    "fox SYNONYM foxes",
+    "quick ELITE lazy",
+]
+
+
+def _sha(body):
+    import hashlib
+    return hashlib.sha256(body.encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    rows = [{**d, "sha256": _sha(d["body"])} for d in DOCS]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    manifest = build_index(spark, df, out, block_span=4, n_buckets=8)
+    return out, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex.build(DOCS)
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index):
+    return Searcher(spark, index[0])
+
+
+def test_manifest_metrics(index):
+    _, manifest = index
+    m = manifest["metrics"]
+    assert m["n_docs"] == 10
+    assert m["n_postings"] > 0
+    assert m["docs_per_sec"] > 0
+    assert m["term_df_skew_factor"] >= 1.0
+
+
+def test_stats_match_oracle(spark, index, oracle):
+    out, manifest = index
+    gs = manifest["globalstats"]
+    assert int(gs["n_docs"]) == oracle.N
+    assert gs["avg_doclen"] == pytest.approx(oracle.avg_doclen)
+    # dict df/cf/wdf_max must equal oracle postings exactly
+    rows = spark.read.parquet(f"{out}/dict").collect()
+    got = {r["term"]: (r["df"], r["cf"], r["wdf_max"]) for r in rows}
+    want = {
+        t: (len(pl), sum(pl.values()), max(pl.values()))
+        for t, pl in oracle.postings.items()
+    }
+    assert got == want
+
+
+def test_docstats_match(spark, index, oracle):
+    out, _ = index
+    rows = spark.read.parquet(f"{out}/docstats").collect()
+    got = {r["doc_id"]: r["doclen"] for r in rows}
+    assert got == oracle.doclen
+
+
+def test_block_structure(spark, index):
+    out, _ = index
+    post = spark.read.parquet(f"{out}/postings")
+    rows = post.collect()
+    for r in rows:
+        assert r["first_doc"] <= r["last_doc"]
+        assert r["n"] >= 1
+        # doc-range blocking: block_span=4 in this fixture
+        assert r["first_doc"] // 4 == r["block"]
+        assert r["last_doc"] // 4 == r["block"]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_query_parity(searcher, oracle, q):
+    expected = oracle.search(q)
+    actual = searcher.search(q)
+    assert_results_match(expected, actual)
+
+
+def test_metadata_filter_pushdown(searcher, oracle, spark):
+    from pyspark.sql import functions as F
+    expected = oracle.search(
+        "quick ", predicate=lambda d: "python" in d["tags"])
+    actual = searcher.search(
+        "quick ", filters=F.array_contains(F.col("tags"), "python"))
+    assert_results_match(expected, actual)
+
+
+def test_date_filter_pushdown(searcher, oracle):
+    from pyspark.sql import functions as F
+    lo = 1600010000
+    expected = oracle.search("quick ", predicate=lambda d: d["date"] >= lo)
+    actual = searcher.search("quick ", filters=F.col("date") >= lo)
+    assert_results_match(expected, actual)
+
+
+def test_fetch_winners(searcher):
+    df = searcher.query_df("spark ", k=3)
+    rows = searcher.fetch(df).collect()
+    assert len(rows) == 3
+    assert all(r["fullpath"] for r in rows)
+
+
+def test_resume_skips_completed_stages(spark, index):
+    out, _ = index
+    # re-running build with the same dir must be a fast no-op resume
+    rows = [{**d, "sha256": _sha(d["body"])} for d in DOCS]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    manifest2 = build_index(spark, df, out, block_span=4, n_buckets=8)
+    assert manifest2["stages"] == []  # nothing re-ran
+
+
+def test_sha256_invariant(spark, index):
+    out, _ = index
+    docs = spark.read.parquet(f"{out}/docs").collect()
+    for r in docs:
+        assert r["sha256"] == _sha(r["body"])
