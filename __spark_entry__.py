@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 plus the datapipe operators, cross-checked against
+DuckDB at sf0.01 (see mdq_spark/entry_queries.py for the registry).
 """
 
 from __future__ import annotations
@@ -15,24 +14,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build (or resume) the Xapian-mode inverted index over
+    /root/testdata/sf0.001 documents and run a mixed free-text +
+    field-scoped BM25 top-10, materializing winners against the forward
+    store."""
+    from pyspark.sql import functions as F
+    from mdq_spark.entry_queries import ensure_index
+
+    s = ensure_index(spark, "/root/testdata/sf0.001", "xapian")
+    topk = s.query_df("sort merge tag:en join", k=10)
+    return s.fetch(topk, columns=("doc_id", "fullpath", "title"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from mdq_spark.entry_queries import queries as _q
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mdq_spark.entry_queries import oracle_sql as _o
+    return _o()

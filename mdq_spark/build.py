@@ -100,11 +100,32 @@ def term_bucket(term: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def _tokenize_batches(n_buckets: int, block_span: int):
+SIMPLE_TOKEN_RE = r"[a-z0-9]+"
+
+
+def simple_terms(body: str):
+    """'simple' tokenizer mode: lowercase [a-z0-9]+ runs over the body
+    only — no prefixes, no stems.  Deliberately SQL-replicable
+    (``regexp_extract_all(lower(text), '[a-z0-9]+')``) so the whole
+    index+BM25+top-k pipeline can be cross-checked against an
+    independent DuckDB oracle by the driver."""
+    import re
+    pos = 0
+    for tok in re.findall(SIMPLE_TOKEN_RE, (body or "").lower()):
+        pos += 1
+        yield tok, pos, 1
+
+
+def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
     """mapInPandas kernel: docs rows -> per-(doc, term) rows, map-side
     pre-aggregated (wdf summed, positions collected) so the shuffle moves
     one row per (doc, term), not one per token."""
-    from .tokenize import document_terms
+    from .tokenize import document_terms as xapian_terms
+
+    def document_terms(doc):
+        if mode == "simple":
+            return simple_terms(doc.get("body"))
+        return xapian_terms(doc)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -186,11 +207,13 @@ class IndexBuilder:
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  block_span: int = DEFAULT_BLOCK_SPAN,
-                 n_buckets: int = DEFAULT_N_BUCKETS):
+                 n_buckets: int = DEFAULT_N_BUCKETS,
+                 mode: str = "xapian"):
         self.spark = spark
         self.out = out_dir.rstrip("/")
         self.block_span = block_span
         self.n_buckets = n_buckets
+        self.mode = mode
         self.metrics: dict = {}
 
     def path(self, name: str) -> str:
@@ -216,7 +239,8 @@ class IndexBuilder:
         if force or not _stage_done(p_terms):
             t0 = time.time()
             terms = docs.mapInPandas(
-                _tokenize_batches(self.n_buckets, self.block_span),
+                _tokenize_batches(self.n_buckets, self.block_span,
+                                  self.mode),
                 schema=TERMS_SCHEMA)
             terms.write.mode("overwrite").parquet(p_terms)
             stages.append({"stage": "terms", "sec": time.time() - t0})
@@ -296,6 +320,7 @@ class IndexBuilder:
         }
         manifest = {
             "format_version": 1,
+            "mode": self.mode,
             "block_span": self.block_span,
             "n_buckets": self.n_buckets,
             "globalstats": {k: (float(v) if v is not None else None)

@@ -1,0 +1,351 @@
+"""Large-scale training-data pipeline operators (first-class engine ops).
+
+Beyond the reference's IR surface, these are the operations a 100 TB
+text/embedding pipeline needs: deduplication (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine), similarity search
+(brute-force cosine top-k baseline + LSH-bucketed ANN scale path), and
+text analysis (language-ID heuristic, quality scoring, token counting,
+fingerprinting).
+
+Design rules:
+* everything is a composition of built-in pyspark.sql.functions —
+  JVM-side, whole-stage-codegen'd; no Python hot loop anywhere;
+* every hash is md5/sha2 (identical builtins exist in DuckDB), so most
+  ops are independently verifiable by the driver's SQL oracle;
+* pair-generating ops join on shared keys (shingle / band / bucket) —
+  never a cross join — so they scale as the number of *colliding*
+  pairs, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# marker stopword sets for the language-ID heuristic (shared with the
+# SQL oracle — keep in sync with entry_queries._LANG_SETS)
+LANG_SETS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "les", "et", "un", "une", "est"],
+}
+
+STOPWORDS = ["the", "and", "of", "to", "in", "is", "a", "for", "on", "with"]
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(TOKEN_RE), 0)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one surviving (min) id per distinct
+    text.  Single hash-aggregate — the map-side partial agg makes this a
+    near-linear shuffle at any scale."""
+    return (df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct n-gram (word shingle) rows per doc: (id, shingle)."""
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("toks"))
+    sh = toks.select(
+        id_col,
+        F.explode(F.transform(
+            F.slice(F.col("toks"), 1,
+                    F.greatest(F.size("toks") - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(
+                "_", *[F.col("toks")[i + j] for j in range(n)])
+        )).alias("shingle"))
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.05,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard: join on shared shingles (never
+    a cross join), |A∩B| by count, sizes broadcast back in."""
+    sh = shingle_rows(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("nb"))
+    j = (inter.join(sa, "a").join(sb, "b")
+         .withColumn("jaccard",
+                     F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("a", "b",
+                    F.round("jaccard", 4).cast("double").alias("jaccard")))
+
+
+def minhash_rows(df: DataFrame, n_perm: int = 16, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures as rows (id, perm, sig): sig = min over the
+    doc's distinct tokens of md5(perm ':' token).  md5 is the permutation
+    family — deterministic and available in every SQL engine."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    perms = F.explode(F.array(*[F.lit(i) for i in range(n_perm)]))
+    tp = toks.select(id_col, "tok", perms.alias("perm"))
+    return tp.groupBy(id_col, "perm").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("perm").cast("string"),
+                                F.col("tok")))).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, n_perm: int = 16, bands: int = 4,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """MinHash+LSH candidate pairs: band the signature, hash each band,
+    join docs sharing a band hash.  Scales as collisions, not n²."""
+    rows_per_band = n_perm // bands
+    sig = minhash_rows(df, n_perm, text_col, id_col)
+    banded = sig.withColumn(
+        "band", (F.col("perm") / rows_per_band).cast("int"))
+    entries = F.concat_ws(":", F.col("perm").cast("string"), F.col("sig"))
+    bh = banded.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.array_sort(
+            F.collect_list(entries)))).alias("bh"))
+    a = bh.select(F.col(id_col).alias("a"), "band", "bh")
+    b = bh.select(F.col(id_col).alias("b"), "band", "bh")
+    return (a.join(b, ["band", "bh"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over token md5 bits, weighted by term frequency.
+
+    Majority vote per bit position; JVM-side via conv(md5-hex-chunk) and
+    bit ops (no Python).  Output: (id, simhash BIGINT)."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
+    # md5 first 16 hex chars -> unsigned 64-bit decimal -> signed long
+    # (wrap values >= 2^63 so bit ops run on a native long)
+    hdec = F.conv(F.substring(F.md5("tok"), 1, 16), 16, 10) \
+        .cast("decimal(20,0)")
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    h = F.when(hdec >= two63, (hdec - two64).cast("decimal(21,0)")) \
+        .otherwise(hdec.cast("decimal(21,0)")).cast("long")
+    tf = tf.withColumn("h", h)
+    # per bit: sum(+w if bit set else -w)
+    bit_cols = []
+    for i in range(64):
+        bit = F.when(
+            F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+            F.col("w")).otherwise(-F.col("w"))
+        bit_cols.append(F.sum(bit).alias(f"b{i}"))
+    votes = tf.groupBy(id_col).agg(*bit_cols)
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        contrib = 2 ** i if i < 63 else -(2 ** 63)
+        out = out + F.when(F.col(f"b{i}") > 0,
+                           F.lit(contrib)).otherwise(0).cast("long")
+    return votes.select(id_col, out.alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dups: block on 16-bit chunks (a pair within hamming
+    distance 3 of 64 bits must agree on at least one of 4 chunks), then
+    verify the distance exactly — the standard scale pattern."""
+    sh = simhash64(df, text_col, id_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for i in range(4)])).alias("c")) \
+        .select(id_col, "simhash", "c.chunk", "c.val")
+    a = chunks.select(F.col(id_col).alias("a"),
+                      F.col("simhash").alias("ha"), "chunk", "val")
+    b = chunks.select(F.col(id_col).alias("b"),
+                      F.col("simhash").alias("hb"), "chunk", "val")
+    cand = (a.join(b, ["chunk", "val"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b", "ha", "hb").distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k — the exact baseline.  All arithmetic in
+    float64 via built-in higher-order functions (one scan, no shuffle
+    until the final TakeOrdered)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (emb_df.select(F.col(id_col), cos.alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc(id_col)).limit(k)
+            .select(id_col,
+                    F.round("cos_raw", 4).cast("double").alias("cos")))
+
+
+def embedding_neardup_pairs(emb_df: DataFrame, threshold: float = 0.8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold.  Exact O(n²) variant for
+    verification; the scale path is ann_lsh_pairs below."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = emb_df.select(F.col(id_col), v.alias("v"))
+    n = n.withColumn("nrm", _norm(F.col("v")))
+    a = n.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = n.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    j = a.join(b, F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (j.select("a", "b", cos.alias("c"))
+            .filter(F.col("c") >= threshold)
+            .select("a", "b", F.round("c", 4).cast("double").alias("cos")))
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5 — no RNG, no
+    external data, identical across runs and engines."""
+    import hashlib
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
+                 n_planes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed approximate NN: sign-random-projection bucket key,
+    candidates = query's bucket (plus hamming-1 neighbor buckets), exact
+    cosine re-rank inside.  At 100 TB the bucket key becomes the
+    partition/cluster key so a query touches 9/256ths of the data."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+
+    def bucket_of(vec_col_expr: Column) -> Column:
+        acc = F.lit(0)
+        for i, pl in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in pl])
+            acc = acc + F.when(_dot(vec_col_expr, arr) >= 0,
+                               F.lit(2 ** i)).otherwise(0)
+        return acc
+
+    import numpy as np
+    qv = np.asarray(query_vec, dtype="float64")
+    qb = 0
+    for i, pl in enumerate(planes):
+        if float(np.dot(qv, np.asarray(pl))) >= 0:
+            qb |= (1 << i)
+    probe = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucketed = emb_df.select(F.col(id_col), v.alias("v")) \
+        .withColumn("bucket", bucket_of(F.col("v")))
+    cands = bucketed.filter(F.col("bucket").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    return (cands.select(F.col(id_col), cos.alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc(id_col)).limit(k)
+            .select(id_col,
+                    F.round("cos_raw", 4).cast("double").alias("cos")))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language-ID heuristic (deterministic, shared with
+    the SQL oracle).  Ties broken en > es > fr."""
+    toks = tokens_col(text_col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(words)))
+        for lang, words in LANG_SETS.items()
+    }
+    pred = (F.when((scores["en"] >= scores["es"])
+                   & (scores["en"] >= scores["fr"]), "en")
+            .when(scores["es"] >= scores["fr"], "es")
+            .otherwise("fr"))
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def text_quality(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Quality features: token count, mean token length, stopword ratio,
+    non-alphanumeric ratio."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    tok_chars = F.aggregate(F.transform(toks, lambda x: F.length(x)),
+                            F.lit(0), lambda a, v: a + v)
+    n_chars = F.length(F.col(text_col))
+    non_alnum = n_chars - F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 4)
+        .cast("double").alias("mean_token_len"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4)
+        .cast("double").alias("stopword_ratio"),
+        F.round(non_alnum / F.greatest(n_chars, F.lit(1)), 4)
+        .cast("double").alias("non_alnum_ratio"))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level token counting: whitespace tokens vs word tokens
+    (the BPE-ish regex count)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    wd = F.size(tokens_col(text_col))
+    return df.agg(
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(wd).cast("long").alias("word_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """One-permutation MinHash document fingerprint: min md5 over the
+    doc's distinct tokens — a stable content fingerprint that survives
+    token reordering."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    return toks.groupBy(id_col).agg(F.min(F.md5("tok")).alias("fingerprint"))

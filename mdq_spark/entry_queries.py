@@ -1,0 +1,468 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle SQL.
+
+Each entry here is one operator from SURVEY.md §2 (or a datapipe
+operator).  The Spark side runs against this engine; the SQL side is an
+*independent* re-derivation DuckDB can run on the same parquet views —
+the driver cross-checks row counts, schemas, and value hashes.
+
+Conventions:
+* aggregate/computed columns share names between both sides;
+* floating scores are ``CAST(round(x, 4) AS DOUBLE)`` on both sides
+  (ordering still uses the unrounded value);
+* fulltext entries with a SQL oracle use the engine's 'simple'
+  tokenizer mode (``[a-z0-9]+`` over body, no stems/prefixes) so the
+  oracle is expressible; Xapian-mode entries (stemming, prefixes,
+  positional ops) have no SQL equivalent and are registered as
+  rows-only checks — their deep parity gate is the pure-Python oracle
+  in tests/.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import datapipe
+from .build import build_index
+from .ingest import docs_from_documents_table
+from .plan import Bool, Node, Term
+from .search import Searcher
+
+IDX_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "_idx_cache")
+
+_SEARCHERS: dict = {}
+
+
+def ensure_index(spark: SparkSession, sf_dir: str, mode: str) -> Searcher:
+    """Build (or resume) the index for a testdata dir; cache Searchers."""
+    name = os.path.basename(sf_dir.rstrip("/")) or "root"
+    out = os.path.join(IDX_CACHE, f"{name}_{mode}")
+    key = (out,)
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        docs = docs_from_documents_table(spark, sf_dir)
+        build_index(spark, docs, out, mode=mode)
+    s = Searcher(spark, out)
+    _SEARCHERS[key] = s
+    return s
+
+
+# ---------------------------------------------------------------------------
+# fulltext entries (simple mode -> SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def _simple_topk(spark: SparkSession, sf_dir: str, terms: list[str],
+                 op: str, k: int = 10) -> DataFrame:
+    s = ensure_index(spark, sf_dir, "simple")
+    node: Node = Term(terms[0], 1)
+    for i, t in enumerate(terms[1:], start=2):
+        node = Bool(op, (node, Term(t, i)))
+    ctx = {"dict": s._dict_lookup(terms, []), "allowed": None}
+    w = s._eval(node, ctx)
+    # engine doc_ids are 1-based (Xapian parity); map back to the source
+    # table's ids for the oracle comparison
+    return (w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
+            .select((F.col("doc_id") - 1).cast("long").alias("doc_id"),
+                    F.round("weight", 4).cast("double").alias("score")))
+
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS doclen FROM toks GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, avg(doclen) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS wdf FROM toks
+  WHERE term IN ({terms})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+tw AS (
+  SELECT term,
+         CASE WHEN (g.n_docs - df + 0.5) / (df + 0.5) < 2
+              THEN ((g.n_docs - df + 0.5) / (df + 0.5)) * 0.5 + 1
+              ELSE (g.n_docs - df + 0.5) / (df + 0.5) END AS twf
+  FROM df, g
+),
+parts AS (
+  SELECT tf.doc_id, tf.term,
+         2 * ln(tw.twf) * tf.wdf /
+           (1.0 * (greatest(dl.doclen / g.avgdl, 0.5) * 0.5 + 0.5)
+            + tf.wdf) AS part
+  FROM tf JOIN tw USING (term) JOIN dl USING (doc_id), g
+),
+scored AS (
+  SELECT doc_id, sum(part) AS s, count(DISTINCT term) AS nt
+  FROM parts GROUP BY doc_id {having}
+)
+SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS score
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_sql(terms: list[str], op: str, k: int = 10) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" \
+        if op == "AND" else ""
+    return _BM25_SQL.format(terms=tl, having=having, k=k)
+
+
+FT_OR_TERMS = ["query", "window", "merge"]
+FT_AND_TERMS = ["data", "join"]
+FT_SINGLE_TERM = ["vector"]
+FT_STAT_TERMS = ["query", "data", "spark", "join", "table"]
+
+_TERM_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS wdf FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(wdf) AS BIGINT) AS cf,
+       CAST(max(wdf) AS INTEGER) AS wdf_max
+FROM tf GROUP BY term
+"""
+
+_COLLECTION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doclen) AS BIGINT) AS total_doclen,
+       CAST(min(doclen) AS BIGINT) AS doclen_lb,
+       CAST(max(doclen) AS BIGINT) AS doclen_ub
+FROM dl
+"""
+
+
+def q_ft_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = ensure_index(spark, sf_dir, "simple")
+    return (s.dict.filter(F.col("term").isin(FT_STAT_TERMS))
+            .select("term", F.col("df").cast("long"),
+                    F.col("cf").cast("long"),
+                    F.col("wdf_max").cast("int")))
+
+
+def q_ft_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = ensure_index(spark, sf_dir, "simple")
+    gs = s.spark.read.parquet(f"{s.dir}/globalstats")
+    return gs.select(F.col("n_docs").cast("long"),
+                     F.col("total_doclen").cast("long"),
+                     F.col("doclen_lb").cast("long"),
+                     F.col("doclen_ub").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Xapian-mode entries (rows-only checks; deep parity lives in pytest)
+# ---------------------------------------------------------------------------
+
+def _xq(query: str, k: int = 10):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = ensure_index(spark, sf_dir, "xapian")
+        return (s.query_df(query, k=k)
+                .select((F.col("doc_id") - 1).cast("long").alias("doc_id"),
+                        F.round("score", 4).cast("double").alias("score")))
+    return fn
+
+
+def _docs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+def _emb_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb_view(spark, sf_dir).filter(F.col("vec_id") == 0) \
+        .select("embedding").collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable] = {}
+
+    # fulltext (SQL-oracled, simple mode)
+    q["ft_bm25_or_top10"] = lambda sp, d: _simple_topk(
+        sp, d, FT_OR_TERMS, "OR")
+    q["ft_bm25_and_top10"] = lambda sp, d: _simple_topk(
+        sp, d, FT_AND_TERMS, "AND")
+    q["ft_bm25_single_top10"] = lambda sp, d: _simple_topk(
+        sp, d, FT_SINGLE_TERM, "OR")
+    q["ft_term_stats"] = q_ft_term_stats
+    q["ft_collection_stats"] = q_ft_collection_stats
+
+    # fulltext (Xapian mode, rows-only)
+    q["xq_free_text"] = _xq("sort merge join")
+    q["xq_field_tag"] = _xq("tag:en sort")
+    q["xq_phrase"] = _xq('"the fast" ')
+    q["xq_boolean"] = _xq("sort AND NOT merge")
+    q["xq_and_maybe"] = _xq("sort AND MAYBE merge")
+
+    # dedup / fingerprint
+    q["dedup_exact"] = lambda sp, d: datapipe.exact_dedup(
+        _docs_view(sp, d)).select(
+            "content_sha", "doc_id", F.col("dup_count").cast("long"))
+    q["dedup_ngram_jaccard"] = lambda sp, d: datapipe.ngram_jaccard_pairs(
+        _docs_view(sp, d).filter(F.col("doc_id") < 300), n=3,
+        threshold=0.05)
+    q["dedup_minhash_lsh"] = lambda sp, d: datapipe.minhash_lsh_pairs(
+        _docs_view(sp, d).filter(F.col("doc_id") < 500),
+        n_perm=16, bands=2)
+    q["dedup_simhash_sig"] = lambda sp, d: datapipe.simhash64(
+        _docs_view(sp, d).filter(F.col("doc_id") < 200))
+    q["doc_fingerprint"] = lambda sp, d: datapipe.doc_fingerprint(
+        _docs_view(sp, d))
+
+    # similarity search
+    q["simsearch_cosine_top10"] = lambda sp, d: datapipe.cosine_topk(
+        _emb_view(sp, d).filter(F.col("vec_id") != 0),
+        _query_vec(sp, d), k=10)
+    q["embed_neardup_pairs"] = lambda sp, d: datapipe.embedding_neardup_pairs(
+        _emb_view(sp, d).filter(F.col("vec_id") < 400), threshold=0.3)
+    q["ann_lsh_top10"] = lambda sp, d: datapipe.ann_lsh_topk(
+        _emb_view(sp, d).filter(F.col("vec_id") != 0),
+        _query_vec(sp, d), k=10)
+
+    # text analysis
+    q["lang_id"] = lambda sp, d: datapipe.lang_id(_docs_view(sp, d))
+    q["text_quality"] = lambda sp, d: datapipe.text_quality(
+        _docs_view(sp, d).filter(F.col("doc_id") < 500))
+    q["token_counts"] = lambda sp, d: datapipe.token_counts(
+        _docs_view(sp, d))
+
+    # relational predicates (oracle checks of the DataFrame re-expressions)
+    q["rel_pricing_summary"] = _rel_pricing_summary
+    q["rel_top_suppliers"] = _rel_top_suppliers
+    q["rel_events_by_type"] = _rel_events_by_type
+
+    return q
+
+
+def _rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").cast("double").alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .cast("double").alias("sum_disc_price"),
+                 F.count(F.lit(1)).cast("long").alias("count_order")))
+
+
+def _rel_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = sf_dir.rstrip("/")
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    s = spark.read.parquet(f"{d}/supplier.parquet")
+    rev = (li.join(F.broadcast(s),
+                   li.l_suppkey == s.s_suppkey)
+           .groupBy("s_suppkey", "s_name")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .cast("double").alias("revenue")))
+    return rev.orderBy(F.desc("revenue"), F.asc("s_suppkey")).limit(10)
+
+
+def _rel_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("value"), 4).cast("double").alias("avg_value"),
+                 F.countDistinct("user_id").cast("long").alias("users")))
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["ft_bm25_or_top10"] = _bm25_sql(FT_OR_TERMS, "OR")
+    o["ft_bm25_and_top10"] = _bm25_sql(FT_AND_TERMS, "AND")
+    o["ft_bm25_single_top10"] = _bm25_sql(FT_SINGLE_TERM, "OR")
+    o["ft_term_stats"] = _TERM_STATS_SQL.format(
+        terms=", ".join(f"'{t}'" for t in FT_STAT_TERMS))
+    o["ft_collection_stats"] = _COLLECTION_STATS_SQL
+
+    o["dedup_exact"] = """
+SELECT sha256(text) AS content_sha,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY sha256(text)
+"""
+    o["dedup_ngram_jaccard"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         generate_subscripts(
+             regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS ord
+  FROM documents WHERE doc_id < 300
+),
+sh AS (
+  SELECT doc_id,
+         term || '_' || lead(term, 1) OVER w
+              || '_' || lead(term, 2) OVER w AS shingle
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(round(i::DOUBLE / (sa.n + sb.n - i), 4) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.05
+"""
+    o["dedup_minhash_lsh"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents WHERE doc_id < 500
+),
+tp AS (
+  SELECT doc_id, tok, p.perm FROM toks,
+       (SELECT unnest(range(16)) AS perm) p
+),
+sig AS (
+  SELECT doc_id, perm,
+         min(md5(perm::VARCHAR || ':' || tok)) AS sig
+  FROM tp GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, (perm // 8)::INT AS band,
+         perm::VARCHAR || ':' || sig AS entry
+  FROM sig
+),
+bh AS (
+  SELECT doc_id, band,
+         md5(string_agg(entry, ',' ORDER BY entry)) AS bh
+  FROM banded GROUP BY doc_id, band
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh
+          AND x.doc_id < y.doc_id
+"""
+    o["doc_fingerprint"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+)
+SELECT doc_id, min(md5(tok)) AS fingerprint FROM toks GROUP BY doc_id
+"""
+    o["simsearch_cosine_top10"] = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+c AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             q.qv) AS c
+  FROM embeddings e, q WHERE e.vec_id != 0
+)
+SELECT vec_id, CAST(round(c, 4) AS DOUBLE) AS cos
+FROM c ORDER BY c DESC, vec_id ASC LIMIT 10
+"""
+    o["embed_neardup_pairs"] = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 400
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       CAST(round(list_cosine_similarity(x.v, y.v), 4) AS DOUBLE) AS cos
+FROM n x JOIN n y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= 0.3
+"""
+    o["lang_id"] = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks,
+        x -> x IN ('the','and','of','to','in','is'))) AS en,
+    len(list_filter(toks,
+        x -> x IN ('el','la','de','que','y','los'))) AS es,
+    len(list_filter(toks,
+        x -> x IN ('le','les','et','un','une','est'))) AS fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang
+FROM s
+"""
+    o["text_quality"] = """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+             / greatest(len(toks), 1), 4) AS DOUBLE) AS mean_token_len,
+  CAST(round(len(list_filter(toks, x -> x IN
+      ('the','and','of','to','in','is','a','for','on','with')))::DOUBLE
+             / greatest(len(toks), 1), 4) AS DOUBLE) AS stopword_ratio,
+  CAST(round((len(text) - len(regexp_replace(lower(text),
+      '[^a-z0-9]', '', 'g')))::DOUBLE
+             / greatest(len(text), 1), 4) AS DOUBLE) AS non_alnum_ratio
+FROM t
+"""
+    o["token_counts"] = r"""
+SELECT CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+         AS BIGINT) AS word_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+"""
+    o["rel_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+    o["rel_top_suppliers"] = """
+SELECT s_suppkey, s_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY revenue DESC, s_suppkey ASC LIMIT 10
+"""
+    o["rel_events_by_type"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(avg(value), 4) AS DOUBLE) AS avg_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY event_type
+"""
+    return o
