@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "build": {...}}
+
+* ``value``   total wall seconds for the headline query set (p50-style
+              per-query timings under "queries");
+* ``build``   index-build throughput (docs/sec, postings/sec, skew
+              factor) for a fresh Xapian-mode build — the north-rule
+              metric;
+* two-parallelism scaling runs live in scripts/bench_scaling.py (writes
+  BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = {
+    "q1_free_text": "sort merge join",
+    "q2_field_scoped": "tag:en sort",
+    "q3_phrase": '"the fast" ',
+    "q4_boolean": "sort AND NOT merge",
+    "q5_and_maybe": "hash AND MAYBE batch",
+    "q6_partial": "vec",
+    "q7_filtered": ("sort merge", "lang_en"),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    fresh = os.environ.get("SPARK_GRAFT_FRESH_BUILD", "1") == "1"
+
+    from pyspark.sql import functions as F
+    from mdq_spark.session import get_spark
+    from mdq_spark.ingest import docs_from_documents_table
+    from mdq_spark.build import build_index
+    from mdq_spark.search import Searcher
+
+    spark = get_spark("mdq-bench", cores=cpus, shuffle_partitions=cpus)
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    idx_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "_idx_cache", f"bench_{name}_c{cpus}")
+    if fresh and os.path.exists(idx_dir):
+        shutil.rmtree(idx_dir)
+
+    docs = docs_from_documents_table(spark, sf_dir)
+    t0 = time.time()
+    manifest = build_index(spark, docs, idx_dir)
+    build_sec = time.time() - t0
+
+    searcher = Searcher(spark, idx_dir)
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for qname, q in HEADLINE_QUERIES.items():
+        filters = None
+        if isinstance(q, tuple):
+            q, tag = q
+            filters = F.array_contains(F.col("tags"), tag.split("_")[1])
+        # p50 of 3 runs (BASELINE.md: "BM25 top-10 p50")
+        times = []
+        for _ in range(3):
+            t = time.time()
+            searcher.search(q, k=10, filters=filters)
+            times.append(time.time() - t)
+        times.sort()
+        per_query[qname] = round(times[1], 4)
+        total += times[1]
+
+    m = manifest["metrics"]
+    out = {
+        "metric": "index_build_plus_query_wall",
+        "value": round(build_sec + total, 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": name,
+        "build": {
+            "wall_sec": round(build_sec, 4),
+            "docs_per_sec": round(m["docs_per_sec"], 2),
+            "postings_per_sec": round(m["postings_per_sec"], 2),
+            "n_docs": m["n_docs"],
+            "n_postings": m["n_postings"],
+            "term_df_skew_factor": round(m["term_df_skew_factor"], 2),
+        },
+        "cpus": cpus,
+        "query_total_sec": round(total, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -160,40 +160,74 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
     return fn
 
 
-def _encode_block(lf: float):
-    """applyInPandas kernel for one (term, bucket, block) group -> one
-    encoded posting-block row.  ``lf`` is 1/avg_doclen, needed for the
-    block-max score bound (bm25weight.cc:176-201 adapted per-block)."""
+def _encode_one(term: str, bucket: int, block: int,
+                grp: pd.DataFrame, lf: float) -> dict:
+    """Encode one (term, block) run (already doc_id-sorted)."""
+    import numpy as np
+    doc_ids = grp["doc_id"].to_numpy()
+    wdfs = grp["wdf"].to_numpy()
+    doclens = grp["doclen"].to_numpy()
+    normlen = np.maximum(doclens * lf, bm25.MIN_NORMLEN)
+    parts = wdfs / (bm25.K1 * (normlen * bm25.B + (1 - bm25.B)) + wdfs)
+    pos_buf = None
+    pos_col = grp["positions"]
+    if any(v is not None and len(v) > 0 for v in pos_col):
+        pos_buf = encode_positions(
+            [list(v) if v is not None else [] for v in pos_col])
+    return {
+        "term": term,
+        "bucket": int(bucket),
+        "block": int(block),
+        "first_doc": int(doc_ids[0]),
+        "last_doc": int(doc_ids[-1]),
+        "n": len(doc_ids),
+        "doc_gaps": encode_doc_gaps(doc_ids),
+        "wdfs": varint_encode(wdfs),
+        "doclens": varint_encode(doclens),
+        "positions": pos_buf,
+        "block_max_wdf": int(wdfs.max()),
+        "block_max_part": float(parts.max()),
+    }
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, bucket, block = key
-        pdf = pdf.sort_values("doc_id")
-        doc_ids = pdf["doc_id"].to_numpy()
-        wdfs = pdf["wdf"].to_numpy()
-        doclens = pdf["doclen"].to_numpy()
-        import numpy as np
-        normlen = np.maximum(doclens * lf, bm25.MIN_NORMLEN)
-        parts = wdfs / (bm25.K1 * (normlen * bm25.B + (1 - bm25.B)) + wdfs)
-        pos_col = pdf["positions"]
-        has_pos = pos_col.map(lambda v: v is not None and len(v) > 0).any()
-        pos_buf = None
-        if has_pos:
-            pos_buf = encode_positions(
-                [list(v) if v is not None else [] for v in pos_col])
-        return pd.DataFrame([{
-            "term": term,
-            "bucket": int(bucket),
-            "block": int(block),
-            "first_doc": int(doc_ids[0]),
-            "last_doc": int(doc_ids[-1]),
-            "n": len(doc_ids),
-            "doc_gaps": encode_doc_gaps(doc_ids),
-            "wdfs": varint_encode(wdfs),
-            "doclens": varint_encode(doclens),
-            "positions": pos_buf,
-            "block_max_wdf": int(wdfs.max()),
-            "block_max_part": float(parts.max()),
-        }])
+
+def _encode_runs(lf: float):
+    """mapInPandas kernel over partitions sorted by (term, block,
+    doc_id): encodes every contiguous (term, block) run.  Arrow batches
+    can split a run, so an unfinished tail is carried into the next
+    batch — one Python pass per partition, no per-group task overhead
+    (the scalable replacement for a per-group applyInPandas).
+
+    ``lf`` is 1/avg_doclen, needed for the block-max score bound
+    (bm25weight.cc:176-201 adapted per-block)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        leftover: pd.DataFrame | None = None
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if pdf.empty:
+                continue
+            last_term = pdf["term"].iloc[-1]
+            last_block = pdf["block"].iloc[-1]
+            tail_mask = (pdf["term"] == last_term) & \
+                (pdf["block"] == last_block)
+            leftover = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if head.empty:
+                continue
+            rows = [
+                _encode_one(term, grp["bucket"].iloc[0], block, grp, lf)
+                for (term, block), grp in head.groupby(
+                    ["term", "block"], sort=False)
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+        if leftover is not None and not leftover.empty:
+            term = leftover["term"].iloc[0]
+            block = leftover["block"].iloc[0]
+            yield pd.DataFrame([_encode_one(
+                term, leftover["bucket"].iloc[0], block, leftover, lf)])
 
     return fn
 
@@ -223,16 +257,16 @@ class IndexBuilder:
         t_start = time.time()
         stages = []
 
-        # stage 1: forward store (sorted by doc_id for pushdown lookups)
+        # stage 1: forward store (doc_id-sorted within partitions; every
+        # ingest path assigns ids in partition order, so no range shuffle
+        # is needed and parquet min/max stats still prune doc lookups)
         p_docs = self.path("docs")
         if force or not _stage_done(p_docs):
             t0 = time.time()
-            (docs_df.repartitionByRange("doc_id")
-             .sortWithinPartitions("doc_id")
+            (docs_df.sortWithinPartitions("doc_id")
              .write.mode("overwrite").parquet(p_docs))
             stages.append({"stage": "docs", "sec": time.time() - t0})
         docs = self.spark.read.parquet(p_docs)
-        n_docs = docs.count()
 
         # stage 2: tokenize -> terms staging (the resume checkpoint)
         p_terms = self.path("terms")
@@ -290,10 +324,9 @@ class IndexBuilder:
         if force or not _stage_done(p_post):
             t0 = time.time()
             lf = bm25.len_factor(float(gstats["avg_doclen"] or 0.0))
-            (terms.groupBy("term", "bucket", "block")
-             .applyInPandas(_encode_block(lf), schema=POSTINGS_SCHEMA)
-             .repartition("bucket")
-             .sortWithinPartitions("term", "block")
+            (terms.repartition("term", "block")
+             .sortWithinPartitions("term", "block", "doc_id")
+             .mapInPandas(_encode_runs(lf), schema=POSTINGS_SCHEMA)
              .write.mode("overwrite")
              .partitionBy("bucket").parquet(p_post))
             stages.append({"stage": "postings", "sec": time.time() - t0})
@@ -308,6 +341,7 @@ class IndexBuilder:
             F.count("term").alias("n_terms")).collect()[0]
         n_postings = int(agg["n_postings"] or 0)
         skew = float(agg["max_df"] / agg["avg_df"]) if agg["avg_df"] else 0.0
+        n_docs = int(gstats["n_docs"] or 0)
         self.metrics = {
             "n_docs": n_docs,
             "n_terms": int(agg["n_terms"]),

@@ -12,7 +12,9 @@ Match semantics per node (what Xapian's matcher computes):
 * Term        docs containing the term; weight = termweight * sumpart
 * Wildcard    dictionary prefix expansion, OP_SYNONYM-combined: acts as
               ONE term whose per-doc wdf is the sum over expanded terms
-              and whose df is the size of the docid union
+              and whose df is estimated as min(N, Σ df) over distinct
+              constituent terms (Xapian also scores synonyms from
+              estimated term frequencies — see _syn_df)
 * OR          union, weights summed
 * AND         intersection, weights summed
 * AND_NOT     left minus right, left weights
@@ -106,10 +108,34 @@ class OracleIndex:
             for d, w in pl.items()
         }
 
-    def _synonym_weights(self, wdf_by_doc: dict, wqf: int = 1) -> dict:
-        if not wdf_by_doc:
+    def _syn_df(self, node: Node) -> int:
+        """Synonym/wildcard df *estimate*: min(N, Σ df over the distinct
+        constituent terms).  Xapian also scores OP_SYNONYM from estimated
+        (not exact) term frequencies (SURVEY.md A4); this estimate is
+        derivable from the dictionary alone, so the distributed engine
+        never has to aggregate the expansion union just to get df."""
+        terms: set = set()
+
+        def walk(n: Node):
+            if isinstance(n, Term):
+                terms.add(n.term)
+            elif isinstance(n, Wildcard):
+                terms.update(self._expand(n.pattern))
+            elif isinstance(n, (Bool, Positional)):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, Scaled):
+                walk(n.child)
+
+        walk(node)
+        return min(self.N,
+                   sum(len(self.postings.get(t, {})) for t in terms))
+
+    def _synonym_weights(self, wdf_by_doc: dict, df_est: int,
+                         wqf: int = 1) -> dict:
+        if not wdf_by_doc or df_est <= 0:
             return {}
-        tw = bm25.termweight(self.N, len(wdf_by_doc), wqf)
+        tw = bm25.termweight(self.N, df_est, wqf)
         lf = self._lf()
         return {
             d: tw * (w / (bm25.K1 * (max(self.doclen[d] * lf,
@@ -142,8 +168,8 @@ class OracleIndex:
             pl = self.postings.get(node.term, {})
             return bm25.termweight(self.N, len(pl), node.wqf) if pl else 0.0
         if isinstance(node, Wildcard):
-            wdf = self._collect_wdf(node)
-            return bm25.termweight(self.N, len(wdf), 1) if wdf else 0.0
+            df_est = self._syn_df(node)
+            return bm25.termweight(self.N, df_est, 1) if df_est else 0.0
         if isinstance(node, (Bool, Positional)):
             return max((self._max_leaf_termweight(c) for c in node.children),
                        default=0.0)
@@ -229,7 +255,8 @@ class OracleIndex:
         if isinstance(node, Term):
             return self._term_weights(node.term, node.wqf)
         if isinstance(node, Wildcard):
-            return self._synonym_weights(self._collect_wdf(node))
+            return self._synonym_weights(self._collect_wdf(node),
+                                         self._syn_df(node))
         if isinstance(node, Scaled):
             return {d: w * node.factor
                     for d, w in self.evaluate(node.child).items()}
@@ -242,7 +269,8 @@ class OracleIndex:
     def _bool(self, node: Bool) -> dict:
         op = node.op
         if op == "SYNONYM":
-            return self._synonym_weights(self._collect_wdf(node))
+            return self._synonym_weights(self._collect_wdf(node),
+                                         self._syn_df(node))
         if op == "ELITE":
             kids = sorted(node.children, key=self._max_leaf_termweight,
                           reverse=True)[:10]

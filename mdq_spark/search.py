@@ -141,7 +141,8 @@ class Searcher:
             p: sorted(r["term"] for r in rows if r["term"].startswith(p))
             for p in patterns
         }
-        return {"exact": exact, "expansions": expansions}
+        return {"exact": exact, "expansions": expansions,
+                "all": {r["term"]: r.asDict() for r in rows}}
 
     @staticmethod
     def _walk(node: Node, terms: set, patterns: set):
@@ -175,12 +176,27 @@ class Searcher:
             out = out.join(allowed, "doc_id", "left_semi")
         return out
 
-    def _weight_col(self, tw: float) -> Column:
+    def _weight_col(self, tw) -> Column:
+        """BM25 sumpart as a native column expression (whole-stage
+        codegen; doclen is denormalized in the posting block so no join).
+        ``tw`` may be a float (driver-computed) or a Column."""
         normlen = F.greatest(F.col("doclen") * F.lit(self.lf),
                              F.lit(bm25.MIN_NORMLEN))
         denom = F.lit(bm25.K1) * (normlen * F.lit(bm25.B)
                                   + F.lit(1.0 - bm25.B)) + F.col("wdf")
-        return F.lit(tw) * (F.col("wdf") / denom)
+        twc = tw if isinstance(tw, Column) else F.lit(tw)
+        return twc * (F.col("wdf") / denom)
+
+    def _termweight_col(self, df_col: Column, wqf: int = 1) -> Column:
+        """termweight as a column expression of a df column — used when
+        df is computed inside the plan (synonym/wildcard union size) so
+        no blocking .count() job is needed."""
+        tw = (F.lit(float(self.N)) - df_col + 0.5) / (df_col + 0.5)
+        twf = F.when(tw < 2.0, tw * 0.5 + 1.0).otherwise(tw)
+        w = F.log(twf)
+        if bm25.K3 != 0:
+            w = w * F.lit((bm25.K3 + 1.0) * wqf / (bm25.K3 + wqf))
+        return w * F.lit(bm25.K1 + 1.0)
 
     # -- node evaluation -----------------------------------------------------
 
@@ -226,10 +242,18 @@ class Searcher:
         terms = sorted(term_mult)
         if not terms:
             return self._empty()
-        # df of a synonym is the size of the *global* docid union —
-        # collection statistics are independent of metadata filters
-        # (same convention as the oracle), so count before restricting
-        dec = self._decoded(terms)
+        # synonym df is the dict-derivable estimate min(N, Σ df over the
+        # distinct constituent terms) — same convention as the oracle
+        # (Xapian scores OP_SYNONYM from estimated term frequencies too).
+        # This keeps termweight a driver-side constant: no aggregation
+        # over the expansion union just to learn its size, which at
+        # 100 TB would be a full shuffle of the hottest posting lists.
+        known = ctx["dict"]["all"]
+        df_est = min(self.N, sum(int(known[t]["df"])
+                                 for t in terms if t in known))
+        if df_est <= 0:
+            return self._empty()
+        dec = self._decoded(terms, allowed=ctx["allowed"])
         mult = F.create_map(
             *[x for t in terms
               for x in (F.lit(t), F.lit(int(term_mult[t])))])
@@ -238,14 +262,7 @@ class Searcher:
         syn = dec.groupBy("doc_id").agg(
             F.sum("wdf").cast("int").alias("wdf"),
             F.max("doclen").alias("doclen"))
-        syn = syn.persist()
-        df_count = syn.count()
-        if df_count == 0:
-            syn.unpersist()
-            return self._empty()
-        if ctx["allowed"] is not None:
-            syn = syn.join(ctx["allowed"], "doc_id", "left_semi")
-        tw = bm25.termweight(self.N, df_count, 1)
+        tw = bm25.termweight(self.N, df_est, 1)
         return syn.select("doc_id", self._weight_col(tw).alias("weight"))
 
     def _synonym_over_children(self, node: Bool, ctx: dict) -> DataFrame:
@@ -268,62 +285,71 @@ class Searcher:
         return self._synonym(dict(counts), ctx)
 
     def _positional(self, node: Positional, ctx: dict) -> DataFrame:
+        """PHRASE / NEAR: per-term decoded scans joined on doc_id (the
+        AND), per-child BM25 weights as JVM column expressions, and one
+        Arrow batch pass for the position-window check — a single Spark
+        action end-to-end, no per-doc Python grouping."""
         child_terms = []
         for c in node.children:
             if not isinstance(c, Term):
                 return self._empty()
             child_terms.append(c.term)
-        missing = [t for t in child_terms
-                   if t not in ctx["dict"]["exact"]]
-        if missing:
+        if any(t not in ctx["dict"]["exact"] for t in child_terms):
             return self._empty()
-        dec = self._decoded(sorted(set(child_terms)), with_positions=True,
-                            allowed=ctx["allowed"])
-        op, window = node.op, node.window
-        terms_in_order = list(child_terms)
+        distinct_terms = sorted(set(child_terms))
+        col_of = {t: f"p_{i}" for i, t in enumerate(distinct_terms)}
 
-        out_schema = StructType([StructField("doc_id", LongType(), False)])
-
-        def check(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
-            plmap = {
-                r.term: (sorted(r.positions)
-                         if r.positions is not None and len(r.positions)
-                         else [])
-                for r in pdf.itertuples(index=False)
-            }
-            plists = []
-            for t in terms_in_order:
-                pl = plmap.get(t)
-                if not pl:
-                    return pd.DataFrame({"doc_id": []}).astype(
-                        {"doc_id": "int64"})
-                plists.append(pl)
-            if op == "PHRASE":
-                hit = OracleIndex._phrase_hit(plists, window)
-            else:
-                hit = OracleIndex._near_hit(plists, window)
-            if hit:
-                return pd.DataFrame({"doc_id": [key[0]]})
-            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
-
-        # candidate docs must contain every child term: inner count check
-        need = len(set(child_terms))
-        cands = dec.groupBy("doc_id").agg(
-            F.countDistinct("term").alias("nt")).filter(
-            F.col("nt") >= need).select("doc_id")
-        passing = dec.join(cands, "doc_id", "left_semi") \
-            .groupBy("doc_id").applyInPandas(check, schema=out_schema)
-        # weight = sum of per-child term weights over passing docs
-        weights = None
+        base = None
+        for t in distinct_terms:
+            d = self._decoded([t], with_positions=True,
+                              allowed=ctx["allowed"]) \
+                .select("doc_id",
+                        F.col("positions").alias(col_of[t]),
+                        F.col("wdf").alias(f"w_{col_of[t]}"),
+                        F.col("doclen").alias(f"l_{col_of[t]}"))
+            base = d if base is None else base.join(d, "doc_id")
+        # weight = sum of per-child sumparts (children may repeat a term)
+        weight = F.lit(0.0)
+        first_len = f"l_{col_of[distinct_terms[0]]}"
         for c in node.children:
             info = ctx["dict"]["exact"][c.term]
             tw = bm25.termweight(self.N, int(info["df"]), c.wqf)
-            wdf = self._decoded([c.term], allowed=ctx["allowed"]) \
-                .select("doc_id", self._weight_col(tw).alias("w"))
-            weights = wdf if weights is None else weights.unionByName(wdf)
-        agg = weights.groupBy("doc_id").agg(F.sum("w").alias("weight"))
-        return agg.join(passing, "doc_id", "left_semi")
+            wdf = F.col(f"w_{col_of[c.term]}")
+            normlen = F.greatest(F.col(first_len) * F.lit(self.lf),
+                                 F.lit(bm25.MIN_NORMLEN))
+            denom = F.lit(bm25.K1) * (normlen * F.lit(bm25.B)
+                                      + F.lit(1.0 - bm25.B)) + wdf
+            weight = weight + F.lit(tw) * (wdf / denom)
+        base = base.select("doc_id", weight.alias("weight"),
+                           *[col_of[t] for t in distinct_terms])
+
+        op, window = node.op, node.window
+        order_cols = [col_of[c.term] for c in node.children]
+
+        def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                keep = []
+                for row in pdf.itertuples(index=False):
+                    rd = row._asdict()
+                    plists = []
+                    ok = True
+                    for cname in order_cols:
+                        pl = rd[cname]
+                        if pl is None or len(pl) == 0:
+                            ok = False
+                            break
+                        plists.append(sorted(pl))
+                    if not ok:
+                        keep.append(False)
+                        continue
+                    if op == "PHRASE":
+                        keep.append(
+                            OracleIndex._phrase_hit(plists, window))
+                    else:
+                        keep.append(OracleIndex._near_hit(plists, window))
+                yield pdf.loc[keep, ["doc_id", "weight"]]
+
+        return base.mapInPandas(check, "doc_id bigint, weight double")
 
     def _bool(self, node: Bool, ctx: dict) -> DataFrame:
         op = node.op
@@ -331,14 +357,30 @@ class Searcher:
             return self._synonym_over_children(node, ctx)
         if op == "ELITE":
             # keep the 10 children with the highest leaf termweight
+            # (wildcard leaves rank by their estimated synonym df,
+            # mirroring OracleIndex._max_leaf_termweight)
+            known = ctx["dict"]["all"]
+
+            def leaf_tw(n: Node) -> float:
+                if isinstance(n, Term):
+                    info = ctx["dict"]["exact"].get(n.term)
+                    return bm25.termweight(
+                        self.N, int(info["df"]), n.wqf) if info else 0.0
+                if isinstance(n, Wildcard):
+                    ts = ctx["dict"]["expansions"].get(n.pattern, [])
+                    df_est = min(self.N, sum(
+                        int(known[t]["df"]) for t in ts if t in known))
+                    return bm25.termweight(self.N, df_est, 1) \
+                        if df_est else 0.0
+                if isinstance(n, (Bool, Positional)):
+                    return max((leaf_tw(c) for c in n.children),
+                               default=0.0)
+                if isinstance(n, Scaled):
+                    return n.factor * leaf_tw(n.child)
+                return 0.0
+
             def key(c):
-                terms: set = set()
-                pats: set = set()
-                self._walk(c, terms, pats)
-                tws = [bm25.termweight(self.N, int(
-                    ctx["dict"]["exact"][t]["df"]), 1)
-                    for t in terms if t in ctx["dict"]["exact"]]
-                return max(tws, default=0.0)
+                return leaf_tw(c)
             kids = sorted(node.children, key=key, reverse=True)[:10]
             out = None
             for c in kids:

@@ -1,0 +1,142 @@
+"""Datapipe + multimodal operator tests (Spark), including plan-shape
+assertions (broadcast where expected, no cross joins in pair ops)."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "s0"),
+        (2, "completely different content here now", "en", "s1"),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        (4, "el gato y el perro de la casa que", "es", "s2"),
+        (5, "le chat et les chiens est un animal", "fr", "s2"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    from mdq_spark.datapipe import exact_dedup
+    out = exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[0] == 2          # docs 0 and 3 identical, keeper = 0
+    assert 3 not in by_id
+    assert len(out) == 5
+
+
+def test_ngram_jaccard(spark, docs):
+    from mdq_spark.datapipe import ngram_jaccard_pairs
+    out = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert out[(0, 3)] == 1.0      # identical docs
+    assert (0, 1) in out           # near-dup (one word differs)
+    assert (0, 2) not in out
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    from mdq_spark.datapipe import minhash_lsh_pairs
+    pairs = {(r["a"], r["b"])
+             for r in minhash_lsh_pairs(docs, n_perm=16, bands=4).collect()}
+    assert (0, 3) in pairs         # identical docs always collide
+    assert (2, 4) not in pairs
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    from mdq_spark.datapipe import simhash64, simhash_neardup_pairs
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh[0] == sh[3]          # identical text -> identical simhash
+    ham03 = bin(sh[0] ^ sh[1]).count("1")
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    assert ham03 < ham02           # near-dup closer than unrelated
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_neardup_pairs(docs, max_hamming=0).collect()}
+    assert pairs[(0, 3)] == 0
+
+
+def test_lang_id(spark, docs):
+    from mdq_spark.datapipe import lang_id
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert out[0] == "en" and out[4] == "es" and out[5] == "fr"
+
+
+def test_text_quality(spark, docs):
+    from mdq_spark.datapipe import text_quality
+    out = {r["doc_id"]: r for r in text_quality(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[0]["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-4)
+
+
+def test_cosine_topk_exact(spark):
+    from mdq_spark.datapipe import cosine_topk
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, [1.0, 0.1, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [0, 1]
+    assert out[0]["cos"] == pytest.approx(1 / (1.01 ** 0.5), abs=1e-3)
+
+
+def test_ann_lsh_contains_true_nn(spark):
+    from mdq_spark.datapipe import ann_lsh_topk, cosine_topk
+    import math
+    rows = [(i, [math.sin(i * 0.7 + j) for j in range(8)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [math.sin(5 * 0.7 + j) for j in range(8)]  # == vec 5's vector
+    exact = cosine_topk(df, q, k=1).collect()
+    approx = ann_lsh_topk(df, q, k=5).collect()
+    assert exact[0]["vec_id"] in {r["vec_id"] for r in approx}
+
+
+def test_pair_ops_have_no_cartesian(spark, docs):
+    from mdq_spark.datapipe import minhash_lsh_pairs, ngram_jaccard_pairs
+    for df in (minhash_lsh_pairs(docs), ngram_jaccard_pairs(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+def test_multimodal_features(spark):
+    from mdq_spark.multimodal import (
+        extract_features, fake_decode, synthetic_media)
+    media = synthetic_media(spark, n=12)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 12
+    by_id = {r["media_id"]: r for r in feats}
+    payload = hashlib.sha256(b"media-0").digest() * 4
+    assert list(by_id[0]["feature"]) == pytest.approx(
+        fake_decode(payload, 8), abs=1e-6)
+    assert by_id[0]["payload_sha"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    from mdq_spark.multimodal import decode_image
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    from mdq_spark.multimodal import frame_sample_plan, synthetic_media
+    media = synthetic_media(spark, n=9)
+    frames = frame_sample_plan(media, every_ms=5000).collect()
+    # 3 videos (every 3rd), 15000ms -> ts 0/5000/10000
+    vids = {r["media_id"] for r in frames}
+    assert all(r["frame_ts_ms"] in (0, 5000, 10000) for r in frames)
+    assert len(frames) == len(vids) * 3
+
+
+def test_resize_metadata(spark):
+    from mdq_spark.multimodal import resize_metadata, synthetic_media
+    media = synthetic_media(spark, n=6)
+    out = resize_metadata(media, max_side=256).collect()
+    for r in out:
+        assert r["target_w"] == 256 and r["target_h"] == 192
