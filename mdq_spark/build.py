@@ -236,6 +236,17 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _d, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 class IndexBuilder:
     """Builds (or resumes) an index at ``out_dir`` from a docs DataFrame."""
 
@@ -253,20 +264,39 @@ class IndexBuilder:
     def path(self, name: str) -> str:
         return f"{self.out}/{name}"
 
+    def _read_staged(self, path: str) -> DataFrame:
+        """Read a stage output with split sizing adapted to its size and
+        the cluster parallelism.  Small staged dirs would otherwise
+        coalesce into 1-2 file splits (maxPartitionBytes 128MB +
+        openCost), serializing every downstream map side on a couple of
+        cores; at real scale the computed target saturates back to
+        128MB so task counts stay sane."""
+        par = max(self.spark.sparkContext.defaultParallelism, 1)
+        total = _dir_bytes(path)
+        tgt = max(1 << 20, min(128 << 20, total // (par * 2) or 1))
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
+        self.spark.conf.set("spark.sql.files.openCostInBytes",
+                            str(min(4 << 20, max(1, tgt // 8))))
+        return self.spark.read.parquet(path)
+
     def build(self, docs_df: DataFrame, force: bool = False) -> dict:
         t_start = time.time()
         stages = []
 
-        # stage 1: forward store (doc_id-sorted within partitions; every
-        # ingest path assigns ids in partition order, so no range shuffle
-        # is needed and parquet min/max stats still prune doc lookups)
+        # stage 1: forward store.  Range-partition by doc_id up to the
+        # cluster's parallelism: a small input parquet arrives as one
+        # split, which would serialize the tokenize stage on one core —
+        # the write here fixes the downstream split count (at 100 TB the
+        # source already has thousands of splits; this is a no-op cost).
         p_docs = self.path("docs")
+        par = self.spark.sparkContext.defaultParallelism * 2
         if force or not _stage_done(p_docs):
             t0 = time.time()
-            (docs_df.sortWithinPartitions("doc_id")
+            (docs_df.repartitionByRange(par, "doc_id")
+             .sortWithinPartitions("doc_id")
              .write.mode("overwrite").parquet(p_docs))
             stages.append({"stage": "docs", "sec": time.time() - t0})
-        docs = self.spark.read.parquet(p_docs)
+        docs = self._read_staged(p_docs)
 
         # stage 2: tokenize -> terms staging (the resume checkpoint)
         p_terms = self.path("terms")
@@ -278,7 +308,7 @@ class IndexBuilder:
                 schema=TERMS_SCHEMA)
             terms.write.mode("overwrite").parquet(p_terms)
             stages.append({"stage": "terms", "sec": time.time() - t0})
-        terms = self.spark.read.parquet(p_terms)
+        terms = self._read_staged(p_terms)
 
         # stage 3: doc + collection statistics (A2/A3)
         p_docstats = self.path("docstats")

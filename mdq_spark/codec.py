@@ -89,16 +89,39 @@ def decode_doc_gaps(buf: bytes, count: int | None = None) -> np.ndarray:
 
 def encode_positions(pos_lists) -> bytes:
     """Per-doc position lists -> one buffer: for each doc, varint count
-    then delta-gap encoded positions (first absolute, then gap-1)."""
-    flat = []
-    for pl in pos_lists:
-        pl = sorted(pl)
-        flat.append(len(pl))
-        prev = None
-        for p in pl:
-            flat.append(p if prev is None else p - prev - 1)
-            prev = p
-    return varint_encode(np.asarray(flat, dtype=np.uint64))
+    then delta-gap encoded positions (first absolute, then gap-1).
+    Vectorized: one concatenate + one diff over the whole block (this
+    runs on every posting of every positional term at build time)."""
+    n = len(pos_lists)
+    lens = np.fromiter((len(p) for p in pos_lists), dtype=np.int64,
+                       count=n)
+    total_p = int(lens.sum())
+    if total_p == 0:
+        return varint_encode(np.zeros(n, dtype=np.uint64))
+    arrs = [np.asarray(p, dtype=np.uint64) for p in pos_lists if len(p)]
+    allp = np.concatenate(arrs)
+    # per-list ascending order (the tokenizer emits increasing positions;
+    # sort only when an input violates that)
+    seg_starts = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum([len(a) for a in arrs[:-1]], out=seg_starts[1:])
+    gaps = allp.copy()
+    gaps[1:] = allp[1:] - allp[:-1] - 1
+    gaps[seg_starts] = allp[seg_starts]
+    if gaps.astype(np.int64).min() < 0:  # unsorted input fallback
+        allp = np.concatenate([np.sort(a) for a in arrs])
+        gaps = allp.copy()
+        gaps[1:] = allp[1:] - allp[:-1] - 1
+        gaps[seg_starts] = allp[seg_starts]
+    # interleave: count_i at stream offset i + cumsum(lens[:i])
+    stream = np.empty(n + total_p, dtype=np.uint64)
+    cum = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum[1:])
+    count_pos = np.arange(n, dtype=np.int64) + cum
+    stream[count_pos] = lens.astype(np.uint64)
+    mask = np.ones(n + total_p, dtype=bool)
+    mask[count_pos] = False
+    stream[mask] = gaps
+    return varint_encode(stream)
 
 
 def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:

@@ -114,6 +114,16 @@ class Searcher:
         self.postings = spark.read.parquet(f"{self.dir}/postings")
         self.docs = spark.read.parquet(f"{self.dir}/docs")
         self.docstats = spark.read.parquet(f"{self.dir}/docstats")
+        # upsert artifacts (mdq_spark.upsert): tombstoned docs are
+        # filtered after decode; dict deltas keep df/cf exact
+        tomb_path = os.path.join(self.dir, "tombstones")
+        self.tombstones = None
+        if os.path.exists(tomb_path):
+            t = spark.read.parquet(tomb_path).select("doc_id").distinct()
+            self.tombstones = t if t.limit(1).count() else None
+        delta_path = os.path.join(self.dir, "dict_delta")
+        self.dict_delta = (spark.read.parquet(delta_path)
+                           if os.path.exists(delta_path) else None)
 
     # -- dictionary access -------------------------------------------------
 
@@ -135,14 +145,33 @@ class Searcher:
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
-        rows = self.dict.filter(cond).collect()
-        exact = {r["term"]: r.asDict() for r in rows if r["term"] in set(terms)}
+        # a term may have several dict rows (one per upsert generation):
+        # aggregate, then apply tombstone deltas so df/cf stay exact
+        raw = self.dict.filter(cond).collect()
+        agg: dict = {}
+        for r in raw:
+            d = agg.setdefault(r["term"], {"term": r["term"], "df": 0,
+                                           "cf": 0, "wdf_max": 0,
+                                           "bucket": r["bucket"]})
+            d["df"] += int(r["df"])
+            d["cf"] += int(r["cf"])
+            d["wdf_max"] = max(d["wdf_max"], int(r["wdf_max"]))
+        if self.dict_delta is not None and agg:
+            dcond = F.col("term").isin(list(agg))
+            for r in self.dict_delta.filter(dcond) \
+                    .groupBy("term").agg(F.sum("ddf").alias("ddf"),
+                                         F.sum("dcf").alias("dcf")) \
+                    .collect():
+                if r["term"] in agg:
+                    agg[r["term"]]["df"] += int(r["ddf"])
+                    agg[r["term"]]["cf"] += int(r["dcf"])
+        agg = {t: d for t, d in agg.items() if d["df"] > 0}
+        exact = {t: d for t, d in agg.items() if t in set(terms)}
         expansions = {
-            p: sorted(r["term"] for r in rows if r["term"].startswith(p))
+            p: sorted(t for t in agg if t.startswith(p))
             for p in patterns
         }
-        return {"exact": exact, "expansions": expansions,
-                "all": {r["term"]: r.asDict() for r in rows}}
+        return {"exact": exact, "expansions": expansions, "all": agg}
 
     @staticmethod
     def _walk(node: Node, terms: set, patterns: set):
@@ -164,14 +193,20 @@ class Searcher:
             F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
     def _decoded(self, terms: list[str], with_positions: bool = False,
-                 allowed: Optional[DataFrame] = None) -> DataFrame:
+                 allowed: Optional[DataFrame] = None,
+                 block_ids=None) -> DataFrame:
         blocks = self._scan_blocks(terms)
+        if block_ids is not None:
+            blocks = blocks.filter(
+                F.col("block").isin([int(b) for b in block_ids]))
         schema = _DECODED_POS_SCHEMA if with_positions else _DECODED_SCHEMA
         cols = ["term", "n", "doc_gaps", "wdfs", "doclens"]
         if with_positions:
             cols.append("positions")
         out = blocks.select(*cols).mapInPandas(
             _decode_kernel(with_positions), schema=schema)
+        if self.tombstones is not None:
+            out = out.join(self.tombstones, "doc_id", "left_anti")
         if allowed is not None:
             out = out.join(allowed, "doc_id", "left_semi")
         return out
@@ -209,6 +244,8 @@ class Searcher:
             return self._empty()
         if isinstance(node, MatchAll):
             base = self.docstats.select("doc_id", F.lit(0.0).alias("weight"))
+            if self.tombstones is not None:
+                base = base.join(self.tombstones, "doc_id", "left_anti")
             if ctx["allowed"] is not None:
                 base = base.join(ctx["allowed"], "doc_id", "left_semi")
             return base
@@ -217,7 +254,8 @@ class Searcher:
             if not info:
                 return self._empty()
             tw = bm25.termweight(self.N, int(info["df"]), node.wqf)
-            dec = self._decoded([node.term], allowed=ctx["allowed"])
+            dec = self._decoded([node.term], allowed=ctx["allowed"],
+                                 block_ids=ctx.get("blocks"))
             return dec.select("doc_id",
                               self._weight_col(tw).alias("weight"))
         if isinstance(node, Wildcard):
@@ -253,7 +291,8 @@ class Searcher:
                                  for t in terms if t in known))
         if df_est <= 0:
             return self._empty()
-        dec = self._decoded(terms, allowed=ctx["allowed"])
+        dec = self._decoded(terms, allowed=ctx["allowed"],
+                            block_ids=ctx.get("blocks"))
         mult = F.create_map(
             *[x for t in terms
               for x in (F.lit(t), F.lit(int(term_mult[t])))])
@@ -302,7 +341,8 @@ class Searcher:
         base = None
         for t in distinct_terms:
             d = self._decoded([t], with_positions=True,
-                              allowed=ctx["allowed"]) \
+                              allowed=ctx["allowed"],
+                              block_ids=ctx.get("blocks")) \
                 .select("doc_id",
                         F.col("positions").alias(col_of[t]),
                         F.col("wdf").alias(f"w_{col_of[t]}"),
@@ -423,15 +463,125 @@ class Searcher:
             return left.join(right, "doc_id", "left_semi")
         raise ValueError(f"unknown bool op {op}")
 
+    # -- block-max pruning (O3: distributed block-max WAND) --------------------
+
+    def _scoring_units(self, node: Node, ctx: dict):
+        """Decompose an OR/SYNONYM/Term/Wildcard-only tree into scoring
+        units [(tw, {term: mult})]; returns None when the tree contains
+        any other operator (pruning not applicable)."""
+        if isinstance(node, Term):
+            info = ctx["dict"]["exact"].get(node.term)
+            if not info:
+                return []
+            return [(bm25.termweight(self.N, int(info["df"]), node.wqf),
+                     {node.term: 1})]
+        if isinstance(node, Wildcard):
+            terms = ctx["dict"]["expansions"].get(node.pattern, [])
+            if not terms:
+                return []
+            known = ctx["dict"]["all"]
+            df_est = min(self.N, sum(int(known[t]["df"])
+                                     for t in terms if t in known))
+            return [(bm25.termweight(self.N, df_est, 1),
+                     {t: 1 for t in terms})]
+        if isinstance(node, Bool) and node.op == "OR":
+            units = []
+            for c in node.children:
+                u = self._scoring_units(c, ctx)
+                if u is None:
+                    return None
+                units.extend(u)
+            return units
+        if isinstance(node, Bool) and node.op == "SYNONYM":
+            from collections import Counter
+            counts: Counter = Counter()
+
+            def walk(n):
+                if isinstance(n, Term):
+                    counts[n.term] += 1
+                elif isinstance(n, Wildcard):
+                    for t in ctx["dict"]["expansions"].get(n.pattern, []):
+                        counts[t] += 1
+                elif isinstance(n, (Bool, Positional)):
+                    for cc in n.children:
+                        walk(cc)
+            walk(node)
+            if not counts:
+                return []
+            known = ctx["dict"]["all"]
+            df_est = min(self.N, sum(int(known[t]["df"])
+                                     for t in counts if t in known))
+            return [(bm25.termweight(self.N, df_est, 1), dict(counts))]
+        if isinstance(node, MatchNothing):
+            return []
+        return None
+
+    def _eval_pruned(self, node: Node, ctx: dict, k: int,
+                     units) -> Optional[DataFrame]:
+        """Block-max WAND, batch-adapted: (1) read only the tiny metadata
+        columns of the query terms' posting blocks (parquet never touches
+        the binary payload), (2) driver-side interval sweep sums each
+        doc-range block's score upper bound Σ tw_u·Σ m_t·block_max_part_t,
+        (3) exactly score the best-bounded blocks to establish θ = kth
+        score, (4) decode only blocks whose bound >= θ.  Sound: a doc
+        outside kept blocks scores < θ.  Bound validity for synonyms:
+        f(w)=w/(c+w) is subadditive, so the per-term block-max parts sum
+        to a valid synonym bound."""
+        all_terms = sorted({t for _, tm in units for t in tm})
+        if not all_terms:
+            return None
+        meta = (self._scan_blocks(all_terms)
+                .select("term", "block", "n", "block_max_part")
+                .collect())
+        if not meta:
+            return self._empty()
+        by_term = {}
+        for r in meta:
+            by_term.setdefault(r["term"], {})[r["block"]] = r
+        ub: dict = {}
+        ndocs: dict = {}
+        for tw, tm in units:
+            for t, m in tm.items():
+                for b, r in by_term.get(t, {}).items():
+                    ub[b] = ub.get(b, 0.0) + tw * m * r["block_max_part"]
+                    ndocs[b] = max(ndocs.get(b, 0), r["n"])
+        order = sorted(ub, key=lambda b: -ub[b])
+        seed, covered = [], 0
+        for b in order:
+            seed.append(b)
+            covered += ndocs[b]
+            if covered >= k:
+                break
+        if len(seed) == len(order):
+            return None  # nothing to prune; run the plain path
+        seed_ctx = dict(ctx)
+        seed_ctx["blocks"] = set(seed)
+        seed_rows = self._eval(node, seed_ctx) \
+            .orderBy(F.desc("weight"), F.asc("doc_id")).limit(k).collect()
+        if len(seed_rows) < k:
+            return None  # not enough candidates to bound with
+        theta = seed_rows[-1]["weight"]
+        kept = {b for b in order if ub[b] >= theta} | set(seed)
+        if len(kept) == len(order):
+            return None
+        final_ctx = dict(ctx)
+        final_ctx["blocks"] = kept
+        return self._eval(node, final_ctx)
+
     # -- public API -----------------------------------------------------------
 
     def query_df(self, query: str, k: int = DEFAULT_K,
-                 filters: Optional[Column] = None) -> DataFrame:
+                 filters: Optional[Column] = None,
+                 prune: str = "auto") -> DataFrame:
         """Top-k as a DataFrame (doc_id, score), ties broken by doc_id.
 
         ``filters`` is a pyspark Column predicate over the docs table
         (e.g. ``array_contains(col('tags'), 'rust') & (col('date') >= e)``)
-        applied *before* scoring at every leaf (north-rule pushdown)."""
+        applied *before* scoring at every leaf (north-rule pushdown).
+
+        ``prune``: 'auto' enables block-max pruning for OR/term-only
+        plans when the index spans multiple doc-range blocks; 'always'
+        forces it (tests); 'never' disables."""
         node = parse_user_query(query)
         terms: set = set()
         patterns: set = set()
@@ -442,7 +592,16 @@ class Searcher:
         }
         if filters is not None:
             ctx["allowed"] = self.docs.filter(filters).select("doc_id")
-        weights = self._eval(node, ctx)
+        weights = None
+        if prune != "never" and filters is None:
+            units = self._scoring_units(node, ctx)
+            if units:
+                min_blocks = 1 if prune == "always" else 64
+                if (self.N // int(self.manifest["block_span"])) + 1 \
+                        >= min_blocks or prune == "always":
+                    weights = self._eval_pruned(node, ctx, k, units)
+        if weights is None:
+            weights = self._eval(node, ctx)
         return weights.select("doc_id",
                               F.col("weight").alias("score")) \
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -196,3 +196,16 @@ def test_sha256_invariant(spark, index):
     docs = spark.read.parquet(f"{out}/docs").collect()
     for r in docs:
         assert r["sha256"] == _sha(r["body"])
+
+
+PRUNE_QUERIES = ["spark", "quick brown", "qui", "zig ", "spark "]
+
+
+@pytest.mark.parametrize("q", PRUNE_QUERIES)
+def test_blockmax_prune_identical(searcher, q):
+    # the fixture index uses block_span=4 -> 3 blocks; force pruning and
+    # assert identical results to the unpruned path
+    plain = searcher.query_df(q, k=3, prune="never").collect()
+    pruned = searcher.query_df(q, k=3, prune="always").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in plain] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in pruned]

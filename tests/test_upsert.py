@@ -1,0 +1,116 @@
+"""Upsert parity: after a batch upsert (replace + add, keyed by
+fullpath like the reference's Q-term identity), search results must
+equal a from-scratch oracle build of the final corpus."""
+
+import pytest
+
+from conftest import assert_results_match
+from mdq_spark.build import DOCS_SCHEMA, build_index
+from mdq_spark.oracle import OracleIndex
+from mdq_spark.search import Searcher
+from mdq_spark.upsert import compact, upsert
+
+pytestmark = pytest.mark.spark
+
+
+def doc(doc_id, fullpath, body, tags=()):
+    import hashlib
+    return dict(doc_id=doc_id, fullpath=fullpath, title="t",
+                subtitle="", authors=[], date=0, tags=list(tags),
+                weight=0, writes=0, views=0, body=body,
+                sha256=hashlib.sha256(body.encode()).hexdigest())
+
+
+V1 = [
+    doc(1, "a.md", "alpha beta gamma"),
+    doc(2, "b.md", "beta gamma delta"),
+    doc(3, "c.md", "gamma delta epsilon"),
+    doc(4, "d.md", "unrelated words entirely"),
+]
+
+# replaces b.md and c.md, adds e.md
+BATCH = [
+    doc(0, "b.md", "beta beta zeta"),
+    doc(0, "c.md", "completely new text"),
+    doc(0, "e.md", "alpha zeta omega"),
+]
+
+# the corpus a fresh rebuild would see (ids: survivors keep, new get 5..)
+FINAL = [
+    V1[0],
+    V1[3],
+    {**doc(5, "b.md", "beta beta zeta")},
+    {**doc(6, "c.md", "completely new text")},
+    {**doc(7, "e.md", "alpha zeta omega")},
+]
+
+QUERIES = ["alpha ", "beta ", "gamma ", "zeta ", "alpha OR zeta",
+           "beta AND NOT gamma", "gam", "NOT beta AND words"]
+
+
+@pytest.fixture(scope="module")
+def upserted(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ups"))
+    df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
+    build_index(spark, df, out, block_span=4, n_buckets=8)
+    batch = spark.createDataFrame(BATCH, schema=DOCS_SCHEMA)
+    manifest = upsert(spark, out, batch)
+    return out, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle_final():
+    return OracleIndex.build(FINAL)
+
+
+def test_manifest_generation(upserted):
+    _, m = upserted
+    assert m["generation"] == 1
+    assert m["next_doc_id"] == 8
+    assert m["upserts"][0]["n_new"] == 3
+
+
+def test_globalstats_exact(upserted, oracle_final):
+    _, m = upserted
+    assert int(m["globalstats"]["n_docs"]) == oracle_final.N
+    assert m["globalstats"]["avg_doclen"] == pytest.approx(
+        oracle_final.avg_doclen)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_upsert_query_parity(spark, upserted, oracle_final, q):
+    s = Searcher(spark, upserted[0])
+    assert_results_match(oracle_final.search(q), s.search(q))
+
+
+def test_replaced_doc_not_returned(spark, upserted):
+    s = Searcher(spark, upserted[0])
+    # old b.md (doc 2) contained 'delta'; new b.md doesn't
+    hits = {d for d, _ in s.search("delta ")}
+    assert 2 not in hits and 5 not in hits
+    assert 3 not in hits  # old c.md replaced too
+
+
+def test_second_upsert(spark, upserted, oracle_final):
+    out, _ = upserted
+    batch2 = [doc(0, "e.md", "omega omega psi")]
+    m2 = upsert(spark, out, spark.createDataFrame(
+        batch2, schema=DOCS_SCHEMA))
+    assert m2["generation"] == 2
+    final2 = [d for d in FINAL if d["fullpath"] != "e.md"] + \
+        [doc(8, "e.md", "omega omega psi")]
+    oracle2 = OracleIndex.build(final2)
+    s = Searcher(spark, out)
+    for q in ["omega ", "alpha ", "psi OR zeta"]:
+        assert_results_match(oracle2.search(q), s.search(q))
+
+
+def test_compact_equals_upserted(spark, upserted, tmp_path_factory):
+    out, _ = upserted
+    s_before = Searcher(spark, out)
+    expected = {q: s_before.search(q) for q in ["omega ", "beta "]}
+    cout = str(tmp_path_factory.mktemp("compact"))
+    compact(spark, out, cout)
+    s_after = Searcher(spark, cout)
+    for q, exp in expected.items():
+        assert_results_match(exp, s_after.search(q))
