@@ -186,6 +186,33 @@ def _should_stem(term: str) -> bool:
     return bool(term) and unicodedata.category(term[0]) in _STEM_CATS
 
 
+# --- fast path ---------------------------------------------------------------
+# Tokens never span whitespace (whitespace is neither wordchar nor infix),
+# so text can be processed per whitespace-chunk.  A chunk containing none
+# of the characters that activate special tokenizer rules — uppercase
+# ASCII (acronyms), + # & ' (suffix/infix), any non-ASCII codepoint, or a
+# digit-separator pattern — tokenizes exactly as runs of [a-z0-9_].  Such
+# chunks go through one compiled regex; everything else falls back to the
+# exact char-loop.  Equivalence is property-tested against parse_terms.
+
+import re as _re
+
+_TRIGGER = _re.compile(r"[^\x00-\x7f]|[A-Z+#&']|\d[.,;]\d")
+_FAST = _re.compile(r"[a-z0-9_]+")
+_LOWER_ASCII = frozenset("abcdefghijklmnopqrstuvwxyz")
+
+
+def chunk_tokens(text: str) -> Iterator[str]:
+    """Token stream identical to ``parse_terms`` but with a fast regex
+    path for trigger-free whitespace chunks."""
+    for chunk in text.split():
+        if _TRIGGER.search(chunk) is None:
+            yield from _FAST.findall(chunk)
+        else:
+            for tok in parse_terms(chunk):
+                yield tok.term
+
+
 def index_text(
     text: str,
     prefix: str = "",
@@ -207,17 +234,24 @@ def index_text(
     """
     rows: list[tuple[str, Optional[int], int]] = []
     cur_pos = start_pos
-    for term, _positional in parse_terms(text):
-        if len(term.encode("utf-8")) > MAX_WORD_LENGTH:
+    zprefix = "Z" + prefix
+    lower_ascii = _LOWER_ASCII
+    for term in chunk_tokens(text):
+        # byte-length cap; <=16 chars can never exceed 64 UTF-8 bytes
+        if len(term) > 16 and \
+                len(term.encode("utf-8")) > MAX_WORD_LENGTH:
             continue
         cur_pos += 1
         rows.append((prefix + term, cur_pos, wdf_inc))
-        if not _should_stem(term):
+        c0 = term[0]
+        if c0 in lower_ascii:
+            pass  # Ll: stem
+        elif not _should_stem(term):
             continue
         st = stem(term)
         if not st:
             continue
-        rows.append(("Z" + prefix + st, None, wdf_inc))
+        rows.append((zprefix + st, None, wdf_inc))
     return rows, cur_pos
 
 

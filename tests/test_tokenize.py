@@ -144,3 +144,44 @@ def test_document_terms_field_order():
 
 def test_query_terms():
     assert query_terms("Foo BAR") == ["foo", "bar"]
+
+
+# --- fast-path equivalence ----------------------------------------------------
+
+def test_chunk_tokens_equivalence_goldens():
+    from mdq_spark.tokenize import chunk_tokens
+    cases = [
+        "Hello World", "snake_case foo", "c++ and c# code", "c++++",
+        "fish+chips", "P.T.O. next", "U.N.C.L.E", "M&S", "A.B.c",
+        "AT&T rocks", "don't stop", "don’t stop", "3,14 and 1.5",
+        "a,b", "pi is 3, yes", "x86 arch 2nd", "foo​bar",
+        "the quick brown fox", "__init__ calls self.x",
+        "mixed CASE and lower", "trailing+ plus+ word",
+        "(parens) [brackets] {braces}", "a.b.c.d", "e.g. i.e.",
+    ]
+    for s in cases:
+        assert list(chunk_tokens(s)) == [t.term for t in parse_terms(s)], s
+
+
+def test_chunk_tokens_equivalence_random():
+    import random
+    from mdq_spark.tokenize import chunk_tokens
+    rng = random.Random(42)
+    alphabet = list("abcXYZ019 .,;+#&'_-\t\n()é漢​’")
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 60)))
+        assert list(chunk_tokens(s)) == \
+            [t.term for t in parse_terms(s)], repr(s)
+
+
+def test_hypothesis_fastpath_equivalence():
+    from hypothesis import given, settings, strategies as st
+    from mdq_spark.tokenize import chunk_tokens
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def check(s):
+        assert list(chunk_tokens(s)) == [t.term for t in parse_terms(s)]
+
+    check()
