@@ -120,12 +120,22 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
     """mapInPandas kernel: docs rows -> per-(doc, term) rows, map-side
     pre-aggregated (wdf summed, positions collected) so the shuffle moves
     one row per (doc, term), not one per token."""
-    from .tokenize import document_terms as xapian_terms
+    from .tokenize import document_term_rows
 
-    def document_terms(doc):
-        if mode == "simple":
-            return simple_terms(doc.get("body"))
-        return xapian_terms(doc)
+    def agg_doc(doc: dict):
+        if mode != "simple":
+            return document_term_rows(doc)
+        agg: dict = {}
+        doclen = 0
+        for term, pos, wdf_inc in simple_terms(doc.get("body")):
+            doclen += wdf_inc
+            ent = agg.get(term)
+            if ent is None:
+                agg[term] = [wdf_inc, [pos]]
+            else:
+                ent[0] += wdf_inc
+                ent[1].append(pos)
+        return agg, doclen
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,16 +146,7 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
             for row in pdf.itertuples(index=False):
                 doc = row._asdict()
                 did = int(doc["doc_id"])
-                agg: dict = {}
-                doclen = 0
-                for term, pos, wdf_inc in document_terms(doc):
-                    doclen += wdf_inc
-                    ent = agg.get(term)
-                    if ent is None:
-                        ent = agg[term] = [0, []]
-                    ent[0] += wdf_inc
-                    if pos is not None:
-                        ent[1].append(pos)
+                agg, doclen = agg_doc(doc)
                 blk = did // block_span
                 for term, (wdf, positions) in agg.items():
                     out["term"].append(term)

