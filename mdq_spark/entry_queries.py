@@ -56,7 +56,7 @@ def ensure_index(spark: SparkSession, sf_dir: str, mode: str) -> Searcher:
 # ---------------------------------------------------------------------------
 
 def _simple_topk(spark: SparkSession, sf_dir: str, terms: list[str],
-                 op: str, k: int = 10) -> DataFrame:
+                 op: str, k: int = 10, offset: int = 0) -> DataFrame:
     s = ensure_index(spark, sf_dir, "simple")
     node: Node = Term(terms[0], 1)
     for i, t in enumerate(terms[1:], start=2):
@@ -65,9 +65,13 @@ def _simple_topk(spark: SparkSession, sf_dir: str, terms: list[str],
     w = s._eval(node, ctx)
     # engine doc_ids are 1-based (Xapian parity); map back to the source
     # table's ids for the oracle comparison
-    return (w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
-            .select((F.col("doc_id") - 1).cast("long").alias("doc_id"),
-                    F.round("weight", 4).cast("double").alias("score")))
+    ranked = w.orderBy(F.desc("weight"), F.asc("doc_id")) \
+        .limit(k + offset)
+    if offset:
+        ranked = ranked.offset(offset)
+    return ranked.select(
+        (F.col("doc_id") - 1).cast("long").alias("doc_id"),
+        F.round("weight", 4).cast("double").alias("score"))
 
 
 _BM25_SQL = """
@@ -103,15 +107,16 @@ scored AS (
   FROM parts GROUP BY doc_id {having}
 )
 SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS score
-FROM scored ORDER BY s DESC, doc_id ASC LIMIT {k}
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
-def _bm25_sql(terms: list[str], op: str, k: int = 10) -> str:
+def _bm25_sql(terms: list[str], op: str, k: int = 10,
+              offset: int = 0) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(DISTINCT term) = {len(terms)}" \
         if op == "AND" else ""
-    return _BM25_SQL.format(terms=tl, having=having, k=k)
+    return _BM25_SQL.format(terms=tl, having=having, k=k, offset=offset)
 
 
 FT_OR_TERMS = ["query", "window", "merge"]
@@ -208,6 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sp, d, FT_AND_TERMS, "AND")
     q["ft_bm25_single_top10"] = lambda sp, d: _simple_topk(
         sp, d, FT_SINGLE_TERM, "OR")
+    q["ft_bm25_or_page2"] = lambda sp, d: _simple_topk(
+        sp, d, FT_OR_TERMS, "OR", k=10, offset=10)
     q["ft_term_stats"] = q_ft_term_stats
     q["ft_collection_stats"] = q_ft_collection_stats
 
@@ -294,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
     o["ft_bm25_or_top10"] = _bm25_sql(FT_OR_TERMS, "OR")
     o["ft_bm25_and_top10"] = _bm25_sql(FT_AND_TERMS, "AND")
     o["ft_bm25_single_top10"] = _bm25_sql(FT_SINGLE_TERM, "OR")
+    o["ft_bm25_or_page2"] = _bm25_sql(FT_OR_TERMS, "OR", k=10, offset=10)
     o["ft_term_stats"] = _TERM_STATS_SQL.format(
         terms=", ".join(f"'{t}'" for t in FT_STAT_TERMS))
     o["ft_collection_stats"] = _COLLECTION_STATS_SQL

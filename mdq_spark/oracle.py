@@ -314,6 +314,7 @@ class OracleIndex:
         query: str,
         k: int = DEFAULT_K,
         predicate: Optional[Callable[[dict], bool]] = None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         """Top-k (docid, score), ties broken by ascending docid
         (msetcmp.cc:50-59 — weight desc, docid asc).
@@ -328,4 +329,23 @@ class OracleIndex:
             weights = {d: w for d, w in weights.items()
                        if predicate(self.docs[d])}
         ranked = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[offset:offset + k]
+
+    def match_counts(self, query: str) -> dict:
+        n = len(self.evaluate(parse_user_query(query)))
+        return {"matches_lower_bound": n, "matches_estimated": n,
+                "matches_upper_bound": n}
+
+    def collapse(self, query: str, key: str,
+                 k: int = DEFAULT_K) -> list[tuple[int, object, float]]:
+        """Best-scoring doc per docs[key] value, then top-k."""
+        weights = self.evaluate(parse_user_query(query))
+        best: dict = {}
+        for d, w in sorted(weights.items(),
+                           key=lambda kv: (-kv[1], kv[0])):
+            kv = self.docs[d].get(key)
+            kk = tuple(kv) if isinstance(kv, list) else kv
+            if kk not in best:
+                best[kk] = (d, kv, w)
+        ranked = sorted(best.values(), key=lambda t: (-t[2], t[0]))
         return ranked[:k]

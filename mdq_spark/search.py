@@ -607,13 +607,76 @@ class Searcher:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search(self, query: str, k: int = DEFAULT_K,
-               filters: Optional[Column] = None) -> list[tuple[int, float]]:
-        rows = self.query_df(query, k, filters).collect()
+               filters: Optional[Column] = None,
+               offset: int = 0) -> list[tuple[int, float]]:
+        """Ranked matches; ``offset`` mirrors ``get_mset(first, maxitems)``
+        pagination (omenquire.cc:554-576)."""
+        df = self.query_df(query, k + offset, filters)
+        if offset:
+            df = df.offset(offset)
+        rows = df.collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
+    def match_counts(self, query: str,
+                     filters: Optional[Column] = None) -> dict:
+        """Match-count estimate API (A4): Xapian reports lower/estimate/
+        upper bounds (omenquire.cc:245-287); counting is cheap for us so
+        all three are the exact count."""
+        node = parse_user_query(query)
+        terms: set = set()
+        patterns: set = set()
+        self._walk(node, terms, patterns)
+        ctx = {"dict": self._dict_lookup(sorted(terms), sorted(patterns)),
+               "allowed": None}
+        if filters is not None:
+            ctx["allowed"] = self.docs.filter(filters).select("doc_id")
+        n = self._eval(node, ctx).count()
+        return {"matches_lower_bound": n, "matches_estimated": n,
+                "matches_upper_bound": n}
+
+    def collapse(self, query: str, key: str, k: int = DEFAULT_K,
+                 filters: Optional[Column] = None) -> DataFrame:
+        """Collapse (O5): keep the best-scoring doc per ``key`` column of
+        the docs table (Enquire::set_collapse_key), then top-k."""
+        from pyspark.sql import Window
+        node = parse_user_query(query)
+        terms: set = set()
+        patterns: set = set()
+        self._walk(node, terms, patterns)
+        ctx = {"dict": self._dict_lookup(sorted(terms), sorted(patterns)),
+               "allowed": None}
+        if filters is not None:
+            ctx["allowed"] = self.docs.filter(filters).select("doc_id")
+        weights = self._eval(node, ctx)
+        joined = weights.join(self.docs.select("doc_id", key), "doc_id")
+        w = Window.partitionBy(key).orderBy(
+            F.desc("weight"), F.asc("doc_id"))
+        best = joined.withColumn("_rn", F.row_number().over(w)) \
+            .filter(F.col("_rn") == 1).drop("_rn")
+        return best.select("doc_id", key,
+                           F.col("weight").alias("score")) \
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # Serialization projections (P3, src/document.rs:248-284): which
+    # fields each output mode carries.
+    SERIALIZATIONS = {
+        "storage": ["doc_id", "fullpath", "title", "subtitle", "authors",
+                    "date", "tags", "weight", "writes", "views", "body",
+                    "sha256"],
+        "disk": ["doc_id", "title", "subtitle", "authors", "date", "tags",
+                 "weight", "writes", "views"],
+        "human": ["doc_id", "body"],
+        "preview": ["doc_id", "body"],
+    }
+
     def fetch(self, result_df: DataFrame, columns=("doc_id", "fullpath",
-                                                   "title")) -> DataFrame:
+                                                   "title"),
+              serialization: Optional[str] = None) -> DataFrame:
         """S5: materialize winners against the forward store — the k-row
-        side is broadcast so the docs scan is a pruned broadcast join."""
+        side is broadcast so the docs scan is a pruned broadcast join.
+        ``serialization`` selects a reference projection (P3) instead of
+        explicit columns."""
+        if serialization is not None:
+            columns = self.SERIALIZATIONS[serialization]
         return F.broadcast(result_df).join(self.docs, "doc_id") \
             .select(*dict.fromkeys(list(columns) + ["score"]))

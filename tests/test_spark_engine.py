@@ -209,3 +209,31 @@ def test_blockmax_prune_identical(searcher, q):
     pruned = searcher.query_df(q, k=3, prune="always").collect()
     assert [(r["doc_id"], round(r["score"], 9)) for r in plain] == \
            [(r["doc_id"], round(r["score"], 9)) for r in pruned]
+
+
+def test_pagination_parity(searcher, oracle):
+    exp = oracle.search("spark ", k=3, offset=2)
+    act = searcher.search("spark ", k=3, offset=2)
+    assert_results_match(exp, act)
+
+
+def test_match_counts(searcher, oracle):
+    assert searcher.match_counts("spark ") == oracle.match_counts("spark ")
+    assert searcher.match_counts("zzzznope ")["matches_estimated"] == 0
+
+
+def test_collapse(searcher, oracle):
+    exp = oracle.collapse("spark OR quick", "title", k=10)
+    rows = searcher.collapse("spark OR quick", "title", k=10).collect()
+    got = [(r["doc_id"], r["title"], r["score"]) for r in rows]
+    assert len(got) == len(exp)
+    assert {g[0] for g in got} == {e[0] for e in exp}
+    for (gd, gt, gs), (ed, et, es) in zip(sorted(got), sorted(exp)):
+        assert gd == ed and gt == et and abs(gs - es) < 1e-9
+
+
+def test_serialization_projections(searcher):
+    df = searcher.query_df("spark ", k=2)
+    for mode, cols in searcher.SERIALIZATIONS.items():
+        out = searcher.fetch(df, serialization=mode)
+        assert set(out.columns) == set(cols) | {"score"}
