@@ -572,7 +572,8 @@ class Searcher:
 
     def query_df(self, query: str, k: int = DEFAULT_K,
                  filters: Optional[Column] = None,
-                 prune: str = "auto") -> DataFrame:
+                 prune: str = "auto",
+                 min_weight: float = 0.0) -> DataFrame:
         """Top-k as a DataFrame (doc_id, score), ties broken by doc_id.
 
         ``filters`` is a pyspark Column predicate over the docs table
@@ -602,6 +603,9 @@ class Searcher:
                     weights = self._eval_pruned(node, ctx, k, units)
         if weights is None:
             weights = self._eval(node, ctx)
+        if min_weight > 0.0:
+            # weight cutoff (O5, Enquire::set_cutoff)
+            weights = weights.filter(F.col("weight") >= min_weight)
         return weights.select("doc_id",
                               F.col("weight").alias("score")) \
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -237,3 +237,32 @@ def test_serialization_projections(searcher):
     for mode, cols in searcher.SERIALIZATIONS.items():
         out = searcher.fetch(df, serialization=mode)
         assert set(out.columns) == set(cols) | {"score"}
+
+
+# FIXTURES.md §4: the reference's own query set, run end-to-end for
+# rank+score parity (not just plan-description parity)
+FIXTURE_QUERIES = [
+    'title:hee  spark quick author:dan fox tag:rust "hee hee hee" ',
+    'title:"spark engine intro" author:ada tag:rust',
+    'title:hee "quick brown" author:"ada bob" fox tag:python "hee hee"',
+    "spark AND brown", "spark AND NOT tag:rust", "quick OR planner",
+    "quick XOR fox", "spark AND MAYBE sorts", "spark FILTER shuffles",
+    "quick NEAR brown", '"quick brown" ', "spark SCALED 2",
+    "spar",                       # partial prefix expansion
+    "spark and quick",            # lowercase: no outer split
+    "",                           # empty -> no results
+]
+
+
+@pytest.mark.parametrize("q", FIXTURE_QUERIES)
+def test_fixture_query_parity(searcher, oracle, q):
+    assert_results_match(oracle.search(q), searcher.search(q))
+
+
+def test_weight_cutoff(searcher, oracle):
+    base = oracle.search("spark ")
+    cut = base[1][1]  # second-best score as cutoff
+    expected = [(d, w) for d, w in base if w >= cut]
+    rows = searcher.query_df("spark ", min_weight=cut).collect()
+    actual = [(r["doc_id"], r["score"]) for r in rows]
+    assert_results_match(expected, actual)
