@@ -38,6 +38,8 @@ _SEARCHERS: dict = {}
 
 def ensure_index(spark: SparkSession, sf_dir: str, mode: str) -> Searcher:
     """Build (or resume) the index for a testdata dir; cache Searchers."""
+    from .session import ensure_worker_imports
+    ensure_worker_imports(spark)
     name = os.path.basename(sf_dir.rstrip("/")) or "root"
     out = os.path.join(IDX_CACHE, f"{name}_{mode}")
     key = (out,)
@@ -256,6 +258,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_view(sp, d).filter(F.col("doc_id") < 500))
     q["token_counts"] = lambda sp, d: datapipe.token_counts(
         _docs_view(sp, d))
+
+    # multimodal plumbing (rows-only: codecs are stubbed, the Spark-side
+    # schema/batching/feature pipeline is real — deterministic fake decode)
+    def _media_features(sp: SparkSession, d: str) -> DataFrame:
+        from . import multimodal
+        from .session import ensure_worker_imports
+        ensure_worker_imports(sp)
+        media = multimodal.synthetic_media(sp, n=48)
+        return multimodal.extract_features(media, dim=8) \
+            .select("media_id", "kind", "payload_sha")
+    q["media_features"] = _media_features
 
     # relational predicates (oracle checks of the DataFrame re-expressions)
     q["rel_pricing_summary"] = _rel_pricing_summary

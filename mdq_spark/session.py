@@ -3,8 +3,35 @@
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PYFILES_SENT: set = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make the mdq_spark package importable on Python workers even when
+    the driver process runs outside the repo (the driver adds the repo
+    to ITS sys.path, but forked workers don't inherit that).  Ships the
+    package as a py-file once per SparkContext."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SENT:
+        return
+    dist = os.path.join(repo, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "mdq_spark.zip")
+    pkg = os.path.join(repo, "mdq_spark")
+    src_mtime = max(os.path.getmtime(os.path.join(pkg, f))
+                    for f in os.listdir(pkg) if f.endswith(".py"))
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < src_mtime:
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for f in sorted(os.listdir(pkg)):
+                if f.endswith(".py"):
+                    z.write(os.path.join(pkg, f), f"mdq_spark/{f}")
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT.add(key)
 
 
 def get_spark(app: str = "mdq_spark", cores: int | None = None,
