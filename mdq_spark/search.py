@@ -661,6 +661,38 @@ class Searcher:
                            F.col("weight").alias("score")) \
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def batch_search(self, queries: dict, k: int = 10,
+                     filters: Optional[Column] = None) -> DataFrame:
+        """Evaluate a whole query log in ONE Spark action: per-query
+        plans are tagged and unioned, ranked with a window per query.
+        Returns (query_id, doc_id, score, rank).  This is how a training
+        pipeline scores millions of queries — per-query job latency
+        (~1 s floor) amortizes to throughput."""
+        from pyspark.sql import Window
+        tagged = None
+        for qid, q in queries.items():
+            node = parse_user_query(q)
+            terms: set = set()
+            patterns: set = set()
+            self._walk(node, terms, patterns)
+            ctx = {"dict": self._dict_lookup(sorted(terms),
+                                             sorted(patterns)),
+                   "allowed": None}
+            if filters is not None:
+                ctx["allowed"] = self.docs.filter(filters).select("doc_id")
+            w = self._eval(node, ctx).withColumn("query_id", F.lit(qid))
+            tagged = w if tagged is None else tagged.unionByName(w)
+        if tagged is None:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id bigint, score double, "
+                    "rank int")
+        win = Window.partitionBy("query_id").orderBy(
+            F.desc("weight"), F.asc("doc_id"))
+        return (tagged.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "doc_id",
+                        F.col("weight").alias("score"), "rank"))
+
     # Serialization projections (P3, src/document.rs:248-284): which
     # fields each output mode carries.
     SERIALIZATIONS = {

@@ -266,3 +266,17 @@ def test_weight_cutoff(searcher, oracle):
     rows = searcher.query_df("spark ", min_weight=cut).collect()
     actual = [(r["doc_id"], r["score"]) for r in rows]
     assert_results_match(expected, actual)
+
+
+def test_batch_search_matches_individual(searcher, oracle):
+    queries = {"a": "spark ", "b": "quick brown", "c": '"hee hee hee" ',
+               "d": "spark AND NOT query"}
+    out = searcher.batch_search(queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, q in queries.items():
+        expected = oracle.search(q, k=5)
+        got = sorted(by_q.get(qid, []))
+        assert_results_match(expected, [(d, s) for _, d, s in got])
