@@ -286,6 +286,89 @@ def ann_lsh_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
                     F.round("cos_raw", 4).cast("double").alias("cos")))
 
 
+def ivf_assignments(emb_df: DataFrame, n_centroids: int = 8,
+                    iters: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> tuple:
+    """IVF coarse quantizer: deterministic seeding (the n_centroids
+    lowest md5(id) vectors) + a few Lloyd iterations run as DataFrame
+    aggregations.  Returns (assignments DF (id, centroid), centroids
+    list).  At 100 TB the centroid id becomes the partition key so a
+    query probes only nprobe/n_centroids of the data."""
+    import numpy as np
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb_df.select(F.col(id_col), v.alias("v"))
+    seed_ids = [r[id_col] for r in
+                base.select(id_col)
+                .orderBy(F.md5(F.col(id_col).cast("string")))
+                .limit(n_centroids).collect()]
+    cents = [np.asarray(r["v"]) for r in
+             base.filter(F.col(id_col).isin(seed_ids))
+             .orderBy(id_col).collect()]
+
+    def assign_col(cent_list):
+        best = F.lit(0)
+        best_sim = F.lit(float("-inf"))
+        for ci, c in enumerate(cent_list):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            sim = _dot(F.col("v"), arr) / (_norm(F.col("v")) + F.lit(1e-12))
+            best = F.when(sim > best_sim, F.lit(ci)).otherwise(best)
+            best_sim = F.greatest(best_sim, sim)
+        return best
+
+    assigned = base
+    for _ in range(iters):
+        assigned = base.withColumn("centroid", assign_col(cents))
+        means = (assigned
+                 .select("centroid", F.posexplode("v").alias("d", "x"))
+                 .groupBy("centroid", "d").agg(F.avg("x").alias("m"))
+                 .collect())
+        dim = len(cents[0])
+        new = {c: np.zeros(dim) for c in range(len(cents))}
+        for r in means:
+            new[r["centroid"]][r["d"]] = r["m"]
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    assigned = base.withColumn("centroid", assign_col(cents))
+    return assigned, cents
+
+
+def ann_ivf_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
+                 n_centroids: int = 8, nprobe: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate NN: assign vectors to coarse centroids, probe the
+    nprobe centroids nearest the query, exact cosine re-rank inside."""
+    import numpy as np
+    assigned, cents = ivf_assignments(emb_df, n_centroids,
+                                      id_col=id_col, vec_col=vec_col)
+    qv = np.asarray(query_vec, dtype="float64")
+    qn = np.linalg.norm(qv) + 1e-12
+    sims = [float(np.dot(qv, c) / (qn * (np.linalg.norm(c) + 1e-12)))
+            for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: -sims[i])[:nprobe]
+    cands = assigned.filter(F.col("centroid").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    return (cands.select(F.col(id_col), cos.alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc(id_col)).limit(k)
+            .select(id_col,
+                    F.round("cos_raw", 4).cast("double").alias("cos")))
+
+
+def sessionize_events(ev_df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Window-function sessionization over the events stream table: a
+    new session starts when a user's inter-event gap exceeds the
+    threshold.  Output: per-user session count + events."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev_df.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+    return (marked.groupBy("user_id")
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

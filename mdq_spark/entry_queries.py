@@ -251,6 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_top10"] = lambda sp, d: datapipe.ann_lsh_topk(
         _emb_view(sp, d).filter(F.col("vec_id") != 0),
         _query_vec(sp, d), k=10)
+    q["ann_ivf_top10"] = lambda sp, d: datapipe.ann_ivf_topk(
+        _emb_view(sp, d).filter(F.col("vec_id") != 0),
+        _query_vec(sp, d), k=10)
 
     # text analysis
     q["lang_id"] = lambda sp, d: datapipe.lang_id(_docs_view(sp, d))
@@ -274,6 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_pricing_summary"] = _rel_pricing_summary
     q["rel_top_suppliers"] = _rel_top_suppliers
     q["rel_events_by_type"] = _rel_events_by_type
+    q["events_sessions"] = lambda sp, d: datapipe.sessionize_events(
+        sp.read.parquet(f"{d.rstrip('/')}/events.parquet"))
 
     return q
 
@@ -485,5 +490,20 @@ SELECT event_type,
        CAST(round(avg(value), 4) AS DOUBLE) AS avg_value,
        CAST(count(DISTINCT user_id) AS BIGINT) AS users
 FROM events GROUP BY event_type
+"""
+    o["events_sessions"] = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts) > 1800
+                  OR lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM marked GROUP BY user_id
 """
     return o

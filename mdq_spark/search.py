@@ -99,8 +99,16 @@ def _decode_kernel(with_positions: bool):
 class Searcher:
     """Query engine over an index directory built by build_index."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 wildcard_limit: int | None = None):
+        """``wildcard_limit``: optional cap on dictionary prefix
+        expansion (Xapian's set_max_expansion with
+        WILDCARD_LIMIT_MOST_FREQUENT semantics — keep the highest-df
+        terms).  Default None = unlimited, matching the reference's
+        QueryParser default; set it at 10^12-file scale where a short
+        prefix could expand to millions of terms."""
         self.spark = spark
+        self.wildcard_limit = wildcard_limit
         self.dir = index_dir.rstrip("/")
         with open(os.path.join(self.dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -167,10 +175,14 @@ class Searcher:
                     agg[r["term"]]["cf"] += int(r["dcf"])
         agg = {t: d for t, d in agg.items() if d["df"] > 0}
         exact = {t: d for t, d in agg.items() if t in set(terms)}
-        expansions = {
-            p: sorted(t for t in agg if t.startswith(p))
-            for p in patterns
-        }
+        expansions = {}
+        for p in patterns:
+            exp = sorted(t for t in agg if t.startswith(p))
+            if self.wildcard_limit and len(exp) > self.wildcard_limit:
+                exp = sorted(
+                    sorted(exp, key=lambda t: -agg[t]["df"])
+                    [: self.wildcard_limit])
+            expansions[p] = exp
         return {"exact": exact, "expansions": expansions, "all": agg}
 
     @staticmethod

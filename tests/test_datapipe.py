@@ -140,3 +140,31 @@ def test_resize_metadata(spark):
     out = resize_metadata(media, max_side=256).collect()
     for r in out:
         assert r["target_w"] == 256 and r["target_h"] == 192
+
+
+def test_ivf_contains_true_nn(spark):
+    from mdq_spark.datapipe import ann_ivf_topk, cosine_topk
+    import math
+    rows = [(i, [math.sin(i * 0.7 + j) for j in range(8)])
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [math.sin(9 * 0.7 + j) for j in range(8)]
+    exact = cosine_topk(df, q, k=1).collect()
+    approx = ann_ivf_topk(df, q, k=5, n_centroids=4, nprobe=2).collect()
+    assert exact[0]["vec_id"] in {r["vec_id"] for r in approx}
+
+
+def test_sessionize(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=5)),
+        (1, base + dt.timedelta(hours=2)),     # new session
+        (2, base), (2, base + dt.timedelta(minutes=31)),  # new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from mdq_spark.datapipe import sessionize_events
+    out = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in sessionize_events(df).collect()}
+    assert out[1] == (2, 3)
+    assert out[2] == (2, 2)
