@@ -56,6 +56,11 @@ def main() -> None:
     if fresh and os.path.exists(idx_dir):
         shutil.rmtree(idx_dir)
 
+    def loadavg():
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+
+    load_before = loadavg()
     docs = docs_from_documents_table(spark, sf_dir)
     t0 = time.time()
     manifest = build_index(spark, docs, idx_dir)
@@ -96,6 +101,10 @@ def main() -> None:
         },
         "cpus": cpus,
         "query_total_sec": round(total, 4),
+        # ambient-load transparency: this sandbox is a shared VM; loads
+        # beyond our own core count mean neighbors polluted the run
+        "loadavg_before": load_before,
+        "loadavg_after": loadavg(),
     }
     print(json.dumps(out))
 
