@@ -49,7 +49,10 @@ from pyspark.sql.types import (
 )
 
 from . import bm25
-from .codec import encode_doc_gaps, encode_positions, varint_encode
+from .codec import (
+    EMPTY_POSITIONS, encode_doc_gaps, encode_position_list,
+    encode_positions, varint_encode,
+)
 
 DEFAULT_BLOCK_SPAN = 1 << 16
 DEFAULT_N_BUCKETS = 64
@@ -69,6 +72,9 @@ DOCS_SCHEMA = StructType([
     StructField("sha256", StringType(), True),
 ])
 
+# staging carries positions pre-encoded per (doc, term) as varint bytes
+# (count + delta gaps): the shuffle moves small binary blobs instead of
+# Arrow lists, and the block encoder concatenates without re-encoding
 TERMS_SCHEMA = StructType([
     StructField("term", StringType(), False),
     StructField("bucket", IntegerType(), False),
@@ -76,7 +82,7 @@ TERMS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
     StructField("wdf", IntegerType(), False),
     StructField("doclen", IntegerType(), False),
-    StructField("positions", ArrayType(IntegerType()), True),
+    StructField("positions", BinaryType(), True),
 ])
 
 POSTINGS_SCHEMA = StructType([
@@ -155,7 +161,9 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
                     out["doc_id"].append(did)
                     out["wdf"].append(wdf)
                     out["doclen"].append(doclen)
-                    out["positions"].append(positions if positions else None)
+                    out["positions"].append(
+                        encode_position_list(positions)
+                        if positions else None)
             yield pd.DataFrame(out)
 
     return fn
@@ -172,9 +180,10 @@ def _encode_one(term: str, bucket: int, block: int,
     parts = wdfs / (bm25.K1 * (normlen * bm25.B + (1 - bm25.B)) + wdfs)
     pos_buf = None
     pos_col = grp["positions"]
-    if any(v is not None and len(v) > 0 for v in pos_col):
-        pos_buf = encode_positions(
-            [list(v) if v is not None else [] for v in pos_col])
+    if any(v is not None and v != EMPTY_POSITIONS for v in pos_col):
+        pos_buf = b"".join(
+            bytes(v) if v is not None else EMPTY_POSITIONS
+            for v in pos_col)
     return {
         "term": term,
         "bucket": int(bucket),
@@ -384,7 +393,7 @@ class IndexBuilder:
             "avg_doclen": float(gstats["avg_doclen"] or 0.0),
         }
         manifest = {
-            "format_version": 1,
+            "format_version": 2,  # v2: staging positions are varint bytes
             "mode": self.mode,
             "block_span": self.block_span,
             "n_buckets": self.n_buckets,

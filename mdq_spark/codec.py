@@ -124,6 +124,31 @@ def encode_positions(pos_lists) -> bytes:
     return varint_encode(stream)
 
 
+def encode_position_list(vals) -> bytes:
+    """One doc's position list -> ``varint(count) + delta-gap varints``
+    (the same per-doc layout encode_positions emits).  Pure-Python fast
+    path for the tiny lists (1-3 positions) the tokenizer produces —
+    positions are almost always < 2^14 so this is 1-2 bytes per value
+    with no numpy allocation."""
+    out = bytearray()
+
+    def put(v: int) -> None:
+        while v >= 128:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+
+    put(len(vals))
+    prev = -1
+    for p in vals:
+        put(p - prev - 1)
+        prev = p
+    return bytes(out)
+
+
+EMPTY_POSITIONS = b"\x00"  # encode_position_list([])
+
+
 def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
     vals = varint_decode(buf)
     out = []

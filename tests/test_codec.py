@@ -61,3 +61,18 @@ def test_empty():
     assert varint_encode([]) == b""
     assert list(varint_decode(b"")) == []
     assert list(decode_doc_gaps(b"")) == []
+
+
+@given(st.lists(st.integers(min_value=1, max_value=100000),
+                max_size=30, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_position_list_roundtrip(vals):
+    from mdq_spark.codec import encode_position_list, EMPTY_POSITIONS
+    vals = sorted(vals)
+    buf = encode_position_list(vals)
+    out = decode_positions(buf, 1)
+    assert [list(o) for o in out] == [vals]
+    assert encode_position_list([]) == EMPTY_POSITIONS
+    # concatenation of per-doc buffers == whole-block encode_positions
+    buf2 = encode_position_list(vals) + encode_position_list([7, 9])
+    assert buf2 == encode_positions([vals, [7, 9]])
