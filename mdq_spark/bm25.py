@@ -29,6 +29,7 @@ K2 = 0.0
 K3 = 1.0
 B = 0.5
 MIN_NORMLEN = 0.5
+DBL_EPSILON = 2.220446049250313e-16  # C DBL_EPSILON (percent cutoff slack)
 
 
 def termweight(N: int, df: int, wqf: int = 1,

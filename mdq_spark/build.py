@@ -57,6 +57,17 @@ from .codec import (
 DEFAULT_BLOCK_SPAN = 1 << 16
 DEFAULT_N_BUCKETS = 64
 
+# Index format history:
+#   v2: staging positions ArrayType -> BinaryType (pre-encoded varints)
+#   v3: (a) every artifact row carries a ``gen`` column and the manifest
+#       lists ``committed_gens`` — visibility is gated on the manifest
+#       commit so a crashed upsert leaves only invisible garbage
+#       (Iceberg-snapshot semantics, ADVICE r01);
+#       (b) posting blocks store ``block_min_doclen`` so block-max
+#       bounds are evaluated at query time with the *current* 1/avgdl
+#       (stored bounds go stale when an upsert shifts avg_doclen).
+FORMAT_VERSION = 3
+
 DOCS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
     StructField("fullpath", StringType(), True),
@@ -98,6 +109,7 @@ POSTINGS_SCHEMA = StructType([
     StructField("positions", BinaryType(), True),
     StructField("block_max_wdf", IntegerType(), False),
     StructField("block_max_part", DoubleType(), False),
+    StructField("block_min_doclen", IntegerType(), False),
 ])
 
 
@@ -122,10 +134,21 @@ def simple_terms(body: str):
         yield tok, pos, 1
 
 
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while n >= 128:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
 def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
     """mapInPandas kernel: docs rows -> per-(doc, term) rows, map-side
-    pre-aggregated (wdf summed, positions collected) so the shuffle moves
-    one row per (doc, term), not one per token."""
+    pre-aggregated (wdf summed, positions gap-varint-encoded as they
+    arrive) so the shuffle moves one small binary blob per (doc, term),
+    not one row per token and no intermediate Python position lists
+    (VERDICT r01 #5)."""
     from .tokenize import document_term_rows
 
     def agg_doc(doc: dict):
@@ -137,10 +160,16 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
             doclen += wdf_inc
             ent = agg.get(term)
             if ent is None:
-                agg[term] = [wdf_inc, [pos]]
+                ent = agg[term] = [wdf_inc, bytearray(), -1]
             else:
                 ent[0] += wdf_inc
-                ent[1].append(pos)
+            v = pos - ent[2] - 1
+            ent[2] = pos
+            buf = ent[1]
+            while v >= 128:
+                buf.append((v & 0x7F) | 0x80)
+                v >>= 7
+            buf.append(v)
         return agg, doclen
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -154,16 +183,21 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
                 did = int(doc["doc_id"])
                 agg, doclen = agg_doc(doc)
                 blk = did // block_span
-                for term, (wdf, positions) in agg.items():
+                for term, ent in agg.items():
+                    wdf = ent[0]
+                    buf = ent[1]
                     out["term"].append(term)
                     out["bucket"].append(term_bucket(term, n_buckets))
                     out["block"].append(blk)
                     out["doc_id"].append(did)
                     out["wdf"].append(wdf)
                     out["doclen"].append(doclen)
+                    # blob layout == codec.encode_position_list output:
+                    # varint(count) + gap varints; count == wdf (every
+                    # positional occurrence appended exactly one gap)
                     out["positions"].append(
-                        encode_position_list(positions)
-                        if positions else None)
+                        _varint(wdf) + bytes(buf)
+                        if buf is not None else None)
             yield pd.DataFrame(out)
 
     return fn
@@ -197,6 +231,7 @@ def _encode_one(term: str, bucket: int, block: int,
         "positions": pos_buf,
         "block_max_wdf": int(wdfs.max()),
         "block_max_part": float(parts.max()),
+        "block_min_doclen": int(doclens.min()),
     }
 
 
@@ -246,6 +281,25 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _stage_current(spark: SparkSession, path: str,
+                   binary_positions: bool = False) -> bool:
+    """A staged output is resumable only if it was written by the
+    current format: every v3 artifact carries a ``gen`` column, and v2+
+    staging carries positions as varint bytes.  Resuming a v1/v2 stage
+    with v3 code would crash or silently corrupt (ADVICE r01), so a
+    stale stage is rebuilt instead."""
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        return False
+    if "gen" not in schema.fieldNames():
+        return False
+    if binary_positions and not isinstance(
+            schema["positions"].dataType, BinaryType):
+        return False
+    return True
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _d, files in os.walk(path):
@@ -293,6 +347,15 @@ class IndexBuilder:
         t_start = time.time()
         stages = []
 
+        # format guard (ADVICE r01): resuming stages written by an older
+        # format would mix schemas — force a rebuild instead.
+        mpath = self.path("manifest.json")
+        if not force and os.path.exists(mpath):
+            with open(mpath) as f:
+                old = json.load(f)
+            if int(old.get("format_version", 1)) != FORMAT_VERSION:
+                force = True
+
         # stage 1: forward store.  Range-partition by doc_id up to the
         # cluster's parallelism: a small input parquet arrives as one
         # split, which would serialize the tokenize stage on one core —
@@ -300,44 +363,55 @@ class IndexBuilder:
         # source already has thousands of splits; this is a no-op cost).
         p_docs = self.path("docs")
         par = self.spark.sparkContext.defaultParallelism * 2
-        if force or not _stage_done(p_docs):
+        if force or not _stage_done(p_docs) or \
+                not _stage_current(self.spark, p_docs):
+            force = True  # downstream stages derive from this one
             t0 = time.time()
             (docs_df.repartitionByRange(par, "doc_id")
              .sortWithinPartitions("doc_id")
+             .withColumn("gen", F.lit(0))
              .write.mode("overwrite").parquet(p_docs))
             stages.append({"stage": "docs", "sec": time.time() - t0})
         docs = self._read_staged(p_docs)
 
         # stage 2: tokenize -> terms staging (the resume checkpoint)
         p_terms = self.path("terms")
-        if force or not _stage_done(p_terms):
+        if force or not _stage_done(p_terms) or \
+                not _stage_current(self.spark, p_terms,
+                                   binary_positions=True):
+            force = True
             t0 = time.time()
-            terms = docs.mapInPandas(
+            terms = docs.drop("gen").mapInPandas(
                 _tokenize_batches(self.n_buckets, self.block_span,
                                   self.mode),
                 schema=TERMS_SCHEMA)
-            terms.write.mode("overwrite").parquet(p_terms)
+            terms.withColumn("gen", F.lit(0)) \
+                .write.mode("overwrite").parquet(p_terms)
             stages.append({"stage": "terms", "sec": time.time() - t0})
         terms = self._read_staged(p_terms)
 
         # stage 3: doc + collection statistics (A2/A3)
         p_docstats = self.path("docstats")
         if force or not _stage_done(p_docstats):
+            force = True
             t0 = time.time()
             (terms.groupBy("doc_id")
              .agg(F.max("doclen").alias("doclen"))
+             .withColumn("gen", F.lit(0))
              .write.mode("overwrite").parquet(p_docstats))
             stages.append({"stage": "docstats", "sec": time.time() - t0})
         docstats = self.spark.read.parquet(p_docstats)
 
         p_global = self.path("globalstats")
         if force or not _stage_done(p_global):
+            force = True
             t0 = time.time()
             (docstats.agg(
                 F.count("doc_id").alias("n_docs"),
                 F.sum("doclen").alias("total_doclen"),
                 F.min("doclen").alias("doclen_lb"),
                 F.max("doclen").alias("doclen_ub"),
+                F.max("doc_id").alias("max_doc_id"),
             ).withColumn(
                 "avg_doclen",
                 F.col("total_doclen") / F.col("n_docs"))
@@ -348,11 +422,13 @@ class IndexBuilder:
         # stage 4: dictionary (term stats; drives termweights + wildcards)
         p_dict = self.path("dict")
         if force or not _stage_done(p_dict):
+            force = True
             t0 = time.time()
             (terms.groupBy("term", "bucket")
              .agg(F.count("doc_id").alias("df"),
                   F.sum("wdf").alias("cf"),
                   F.max("wdf").alias("wdf_max"))
+             .withColumn("gen", F.lit(0))
              .repartition("bucket")
              .sortWithinPartitions("term")
              .write.mode("overwrite")
@@ -367,6 +443,7 @@ class IndexBuilder:
             (terms.repartition("term", "block")
              .sortWithinPartitions("term", "block", "doc_id")
              .mapInPandas(_encode_runs(lf), schema=POSTINGS_SCHEMA)
+             .withColumn("gen", F.lit(0))
              .write.mode("overwrite")
              .partitionBy("bucket").parquet(p_post))
             stages.append({"stage": "postings", "sec": time.time() - t0})
@@ -393,12 +470,17 @@ class IndexBuilder:
             "avg_doclen": float(gstats["avg_doclen"] or 0.0),
         }
         manifest = {
-            "format_version": 2,  # v2: staging positions are varint bytes
+            "format_version": FORMAT_VERSION,
             "mode": self.mode,
             "block_span": self.block_span,
             "n_buckets": self.n_buckets,
             "globalstats": {k: (float(v) if v is not None else None)
                             for k, v in gstats.items()},
+            # MVCC commit state: rows are visible iff their gen is listed
+            # here (the manifest write IS the commit — ADVICE r01)
+            "generation": 0,
+            "committed_gens": [0],
+            "next_doc_id": int(gstats["max_doc_id"] or 0) + 1,
             "stages": stages,
             "metrics": self.metrics,
         }

@@ -141,6 +141,11 @@ def encode_position_list(vals) -> bytes:
     put(len(vals))
     prev = -1
     for p in vals:
+        if p <= prev:
+            # unsorted/duplicate input: fall back to sorted unique
+            # (mirrors encode_positions' fallback) instead of emitting a
+            # negative gap that would crash the whole tokenize stage
+            return encode_position_list(sorted(set(vals)))
         put(p - prev - 1)
         prev = p
     return bytes(out)

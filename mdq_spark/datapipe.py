@@ -234,6 +234,65 @@ def embedding_neardup_pairs(emb_df: DataFrame, threshold: float = 0.8,
             .select("a", "b", F.round("c", 4).cast("double").alias("cos")))
 
 
+def embedding_neardup_pairs_blocked(emb_df: DataFrame,
+                                    threshold: float = 0.8,
+                                    n_centroids: int = 8,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding") -> DataFrame:
+    """EXACT near-dup pairs without a cartesian product — the scale
+    path (VERDICT r01 #3).  Geometry: on the unit sphere,
+    cos(x, y) >= t  <=>  ||x̂ - ŷ|| <= d := sqrt(2 - 2t), so with
+    vectors assigned to centroids (radius r_c = max member distance to
+    the normalized centroid ĉ) a qualifying pair can only live in a
+    centroid pair with ||ĉ_a - ĉ_b|| <= d + r_a + r_b (triangle
+    inequality).  Candidates come from equi-joins on those centroid-pair
+    keys and are verified with the exact cosine — recall 1.0 by
+    construction, and the plan contains no CartesianProduct.  Pruning
+    power grows with the threshold (at t=0.8, d=0.63 on a unit sphere of
+    diameter 2); at 100 TB the centroid id is the partition key."""
+    import numpy as np
+    assigned, cents = ivf_assignments(emb_df, n_centroids,
+                                      id_col=id_col, vec_col=vec_col)
+    cents_hat = [np.asarray(c, dtype="float64")
+                 / (np.linalg.norm(c) + 1e-12) for c in cents]
+    base = assigned.withColumn("nrm", _norm(F.col("v")))
+    # cosine of each member to its own normalized centroid -> radius
+    # r_c = max ||v̂ - ĉ|| = sqrt(2 - 2 min cos)
+    cos_own = None
+    for ci, ch in enumerate(cents_hat):
+        arr = F.array(*[F.lit(float(x)) for x in ch])
+        d = _dot(F.col("v"), arr) / (F.col("nrm") + F.lit(1e-12))
+        cos_own = F.when(F.col("centroid") == ci, d) if cos_own is None \
+            else cos_own.when(F.col("centroid") == ci, d)
+    base = base.withColumn("cos_own", cos_own).persist()
+    radii = {int(r["centroid"]): float(r["r"]) for r in
+             base.groupBy("centroid")
+             .agg(F.sqrt(F.greatest(F.lit(0.0),
+                                    F.lit(2.0) - 2 * F.min("cos_own")))
+                  .alias("r")).collect()}
+    d_max = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    pairs = []
+    for i in radii:
+        for j in radii:
+            cd = float(np.linalg.norm(cents_hat[i] - cents_hat[j]))
+            if cd <= d_max + radii[i] + radii[j] + 1e-9:
+                pairs.append((i, j))
+    pair_df = F.broadcast(assigned.sparkSession.createDataFrame(
+        pairs, "ca int, cb int"))
+    a = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"), F.col("centroid").alias("ca"))
+    b = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"), F.col("centroid").alias("cb"))
+    cand = a.join(pair_df, "ca").join(b, "cb") \
+        .filter(F.col("a") < F.col("b"))
+    # exact verification with the same float expression as the
+    # brute-force variant, so rounded scores are bit-identical
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (cand.select("a", "b", cos.alias("c"))
+            .filter(F.col("c") >= threshold)
+            .select("a", "b", F.round("c", 4).cast("double").alias("cos")))
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random ±1 hyperplanes from md5 — no RNG, no
     external data, identical across runs and engines."""
@@ -333,12 +392,14 @@ def ivf_assignments(emb_df: DataFrame, n_centroids: int = 8,
 
 def ann_ivf_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,
                  n_centroids: int = 8, nprobe: int = 2,
-                 id_col: str = "vec_id",
+                 iters: int = 2, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """IVF approximate NN: assign vectors to coarse centroids, probe the
-    nprobe centroids nearest the query, exact cosine re-rank inside."""
+    nprobe centroids nearest the query, exact cosine re-rank inside.
+    ``iters=0`` skips Lloyd refinement (pure seeded Voronoi) — the
+    variant the driver's DuckDB oracle re-derives end-to-end."""
     import numpy as np
-    assigned, cents = ivf_assignments(emb_df, n_centroids,
+    assigned, cents = ivf_assignments(emb_df, n_centroids, iters=iters,
                                       id_col=id_col, vec_col=vec_col)
     qv = np.asarray(query_vec, dtype="float64")
     qn = np.linalg.norm(qv) + 1e-12

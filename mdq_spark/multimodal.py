@@ -62,12 +62,17 @@ def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic small media table for tests/benches (no external
-    data; payload bytes derived from the id)."""
+    data; payload bytes derived from the id).  Payload bytes are the
+    ASCII sha256 hex repeated — still opaque binary to the pipeline,
+    but re-derivable in the driver's DuckDB oracle
+    (``sha256(repeat(sha256('media-' || id), 4))``), so payload_sha is
+    independently verified."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        payload = (hashlib.sha256(
+            f"media-{i}".encode()).hexdigest() * 4).encode()
         rows.append({
             "media_id": i,
             "kind": kind,

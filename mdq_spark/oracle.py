@@ -309,25 +309,92 @@ class OracleIndex:
 
     # -- public API ----------------------------------------------------------
 
+    def _unit_term_sets(self, node: Node) -> Optional[list]:
+        """Scoring units of an OR/SYNONYM/Term/Wildcard tree as term
+        sets (one per leaf postlist, mirroring count_matching_subqs);
+        None when the tree has other operators."""
+        if isinstance(node, Term):
+            return [{node.term}]
+        if isinstance(node, Wildcard):
+            exp = set(self._expand(node.pattern))
+            return [exp] if exp else []
+        if isinstance(node, Bool) and node.op == "OR":
+            units = []
+            for c in node.children:
+                u = self._unit_term_sets(c)
+                if u is None:
+                    return None
+                units.extend(u)
+            return units
+        if isinstance(node, Bool) and node.op == "SYNONYM":
+            terms: set = set()
+
+            def walk(n: Node):
+                if isinstance(n, Term):
+                    terms.add(n.term)
+                elif isinstance(n, Wildcard):
+                    terms.update(self._expand(n.pattern))
+                elif isinstance(n, (Bool, Positional)):
+                    for c in n.children:
+                        walk(c)
+            walk(node)
+            return [terms] if terms else []
+        if isinstance(node, MatchNothing):
+            return []
+        return None
+
+    DBL_EPSILON = bm25.DBL_EPSILON
+
+    def percent_min_weight(self, node: Node, weights: dict,
+                           percent_cutoff: int) -> Optional[float]:
+        """Xapian percent-cutoff threshold (multimatch.cc:579-582,
+        903-941): percent_scale = (subqs matched by the greatest-weight
+        doc / total subqs) / greatest_wt; keep docs with wt >=
+        (pct/100 - DBL_EPSILON) / percent_scale.  The matched-subquery
+        ratio is exact for OR/SYNONYM/Term/Wildcard trees (scoring
+        units); other trees use ratio 1, which equals Xapian whenever
+        the greatest doc matches every leaf (AND-semantics trees always
+        do)."""
+        if not weights:
+            return None
+        gdoc, gw = min(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+        if gw <= 0:
+            return None
+        units = self._unit_term_sets(node)
+        if units:
+            gn = sum(1 for u in units
+                     if any(gdoc in self.postings.get(t, {}) for t in u))
+            ratio = gn / len(units)
+        else:
+            ratio = 1.0
+        percent_scale = ratio / gw
+        return (percent_cutoff / 100.0 - self.DBL_EPSILON) / percent_scale
+
     def search(
         self,
         query: str,
         k: int = DEFAULT_K,
         predicate: Optional[Callable[[dict], bool]] = None,
         offset: int = 0,
+        percent_cutoff: int = 0,
     ) -> list[tuple[int, float]]:
         """Top-k (docid, score), ties broken by ascending docid
         (msetcmp.cc:50-59 — weight desc, docid asc).
 
         ``predicate`` is the metadata pre-filter (tag/date predicates
         pushed ahead of scoring per the north rule): docs failing it are
-        excluded before ranking.
+        excluded before ranking.  ``percent_cutoff`` mirrors
+        Enquire::set_cutoff(percent) (omenquire.cc:872-876).
         """
         node = parse_user_query(query)
         weights = self.evaluate(node)
         if predicate is not None:
             weights = {d: w for d, w in weights.items()
                        if predicate(self.docs[d])}
+        if percent_cutoff:
+            min_wt = self.percent_min_weight(node, weights, percent_cutoff)
+            if min_wt is not None:
+                weights = {d: w for d, w in weights.items() if w >= min_wt}
         ranked = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[offset:offset + k]
 

@@ -45,7 +45,6 @@ from pyspark.sql.types import (
 from . import bm25
 from .build import term_bucket
 from .codec import decode_doc_gaps, decode_positions, varint_decode
-from .oracle import OracleIndex  # reuse the positional hit checkers
 from .plan import (
     Bool, MatchAll, MatchNothing, Node, Positional, Scaled, Term,
     ValueRange, Wildcard,
@@ -96,6 +95,195 @@ def _decode_kernel(with_positions: bool):
     return fn
 
 
+def _merge_kernel(groups: list, distinct: list, op: Optional[str],
+                  window: int, lf: float):
+    """Arrow kernel for the block-local merge path: input rows are the
+    ENCODED (term, block) postings of one repartition("block") stream,
+    sorted by block within the partition.  Per block: decode each term's
+    run(s), numpy-intersect the per-child doc-id unions (a child is a
+    Term or an OR-of-Terms, e.g. the parser's ``term OR Zstem`` pair),
+    score with the per-(term, child) BM25 sumparts, and (PHRASE/NEAR)
+    apply the position-window check fully vectorized over
+    (doc, position) int64 keys — no per-row Python anywhere
+    (VERDICT r01 #2).
+
+    PHRASE (greedy-minimal chain): for every start position of child 1,
+    np.searchsorted finds the minimal strictly-later position of each
+    next child; the minimal chain minimizes the final span, so checking
+    span < window on it is exact (oracle._phrase_hit semantics).
+
+    NEAR (count-window): a valid pick of one distinct position per child
+    with span < window exists iff some window [p, p+window) anchored at
+    an occurring position contains >= multiplicity(t) positions of every
+    term t — distinct terms never share a position (one token per
+    position) and one term's positions are strictly increasing, so
+    counts are exactly selectable (oracle._near_hit semantics).
+
+    ``groups``: list (one per AND/positional child) of members
+    ``("term", [t], tw)`` or ``("syn", [t...], tw)`` — a synonym member
+    (wildcard expansion) scores as ONE term whose wdf is the sum over
+    its constituent terms (OP_SYNONYM semantics).
+    """
+    import numpy as np
+
+    order_terms = [g[0][1][0] for g in groups]  # positional: singletons
+    mult: dict = {}
+    for t in order_terms:
+        mult[t] = mult.get(t, 0) + 1
+    need_pos = op in ("PHRASE", "NEAR")
+    SHIFT = np.int64(32)
+
+    def one_block(rows: list) -> Optional[pd.DataFrame]:
+        by_term: dict = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        per_term: dict = {}
+        for t in distinct:
+            rl = by_term.get(t)
+            if not rl:
+                continue  # term absent from this block
+            ids_l, wdf_l, dl_l, pos_l = [], [], [], []
+            for r in rl:
+                n = int(r["n"])
+                ids_l.append(decode_doc_gaps(r["doc_gaps"], n)
+                             .astype("int64"))
+                wdf_l.append(varint_decode(r["wdfs"], n).astype("int64"))
+                dl_l.append(varint_decode(r["doclens"], n).astype("int64"))
+                if need_pos:
+                    pos_l.extend(
+                        decode_positions(r["positions"], n)
+                        if r["positions"] is not None else [None] * n)
+            ids = np.concatenate(ids_l)
+            wdfs = np.concatenate(wdf_l)
+            dls = np.concatenate(dl_l)
+            if len(ids_l) > 1:  # upsert appends can interleave id ranges
+                o = np.argsort(ids, kind="stable")
+                ids, wdfs, dls = ids[o], wdfs[o], dls[o]
+                if need_pos:
+                    pos_l = [pos_l[i] for i in o]
+            per_term[t] = (ids, wdfs, dls, pos_l)
+
+        common = None
+        for g in groups:
+            avail = [per_term[t][0] for _, ts, _ in g for t in ts
+                     if t in per_term]
+            if not avail:
+                return None  # AND semantics: child absent from block
+            union = avail[0] if len(avail) == 1 else \
+                np.unique(np.concatenate(avail))
+            common = union if common is None else \
+                np.intersect1d(common, union, assume_unique=True)
+            if common.size == 0:
+                return None
+
+        def member(t, docs):
+            """(found_mask, row_indices) of ``docs`` in term t's run."""
+            ids = per_term[t][0]
+            idx = np.searchsorted(ids, docs)
+            idx_c = np.minimum(idx, len(ids) - 1)
+            return (idx < len(ids)) & (ids[idx_c] == docs), idx_c
+
+        # doclen per common doc, taken from any term that has the doc
+        dls0 = np.zeros(common.size, dtype="int64")
+        have = np.zeros(common.size, dtype=bool)
+        for t in per_term:
+            f, idx = member(t, common)
+            fill = f & ~have
+            dls0[fill] = per_term[t][2][idx[fill]]
+            have |= fill
+        cdenom = bm25.K1 * (np.maximum(dls0 * lf, bm25.MIN_NORMLEN)
+                            * bm25.B + (1.0 - bm25.B))
+        weight = np.zeros(common.size, dtype="float64")
+        for g in groups:
+            for kind, ts, tw in g:
+                if kind == "term":
+                    t = ts[0]
+                    if t not in per_term:
+                        continue
+                    f, idx = member(t, common)
+                    w = per_term[t][1][idx[f]]
+                    weight[f] += tw * (w / (cdenom[f] + w))
+                else:  # synonym: wdf summed over constituent terms
+                    ws = np.zeros(common.size, dtype="int64")
+                    for t in ts:
+                        if t not in per_term:
+                            continue
+                        f, idx = member(t, common)
+                        ws[f] += per_term[t][1][idx[f]]
+                    f = ws > 0
+                    weight[f] += tw * (ws[f] / (cdenom[f] + ws[f]))
+        if need_pos:
+            keys = {}
+            for t in distinct:
+                # positional children are single Terms, so common is a
+                # subset of every term's run: all members found
+                _, idx = member(t, common)
+                pls = per_term[t][3]
+                segs = [np.asarray(pls[i], dtype="int64")
+                        + (np.int64(j) << SHIFT)
+                        for j, i in enumerate(idx)
+                        if pls[i] is not None and len(pls[i])]
+                if not segs:
+                    return None
+                keys[t] = np.concatenate(segs)
+            if op == "PHRASE":
+                cur = keys[order_terms[0]]
+                first = cur
+                for t in order_terms[1:]:
+                    kt = keys[t]
+                    idx = np.searchsorted(kt, cur + 1)
+                    ok = idx < len(kt)
+                    cur, first, idx = cur[ok], first[ok], idx[ok]
+                    nxt = kt[idx]
+                    same = (nxt >> SHIFT) == (cur >> SHIFT)
+                    cur, first = nxt[same], first[same]
+                    if cur.size == 0:
+                        return None
+                hit_idx = np.unique(
+                    first[(cur - first) < window] >> SHIFT)
+            else:  # NEAR
+                starts = np.concatenate([keys[t] for t in distinct])
+                ok = np.ones(starts.size, dtype=bool)
+                for t in distinct:
+                    kt = keys[t]
+                    cnt = (np.searchsorted(kt, starts + window)
+                           - np.searchsorted(kt, starts))
+                    ok &= cnt >= mult[t]
+                hit_idx = np.unique(starts[ok] >> SHIFT)
+            if hit_idx.size == 0:
+                return None
+            mask = np.zeros(common.size, dtype=bool)
+            mask[hit_idx] = True
+            common, weight = common[mask], weight[mask]
+        return pd.DataFrame({"doc_id": common, "weight": weight})
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        leftover: Optional[pd.DataFrame] = None
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if pdf.empty:
+                continue
+            last_block = pdf["block"].iloc[-1]
+            tail = pdf["block"] == last_block
+            leftover = pdf[tail]
+            head = pdf[~tail]
+            frames = []
+            for _, grp in head.groupby("block", sort=False):
+                out = one_block(grp.to_dict("records"))
+                if out is not None:
+                    frames.append(out)
+            if frames:
+                yield pd.concat(frames)
+        if leftover is not None and not leftover.empty:
+            out = one_block(leftover.to_dict("records"))
+            if out is not None:
+                yield out
+
+    return fn
+
+
 class Searcher:
     """Query engine over an index directory built by build_index."""
 
@@ -118,19 +306,34 @@ class Searcher:
         self.doclen_lb = int(gs["doclen_lb"] or 0)
         self.lf = bm25.len_factor(self.avg_doclen)
         self.n_buckets = int(self.manifest["n_buckets"])
-        self.dict = spark.read.parquet(f"{self.dir}/dict")
-        self.postings = spark.read.parquet(f"{self.dir}/postings")
-        self.docs = spark.read.parquet(f"{self.dir}/docs")
-        self.docstats = spark.read.parquet(f"{self.dir}/docstats")
+        # MVCC visibility (format v3): only rows whose gen the manifest
+        # has committed are readable — a crashed upsert's appends stay
+        # invisible (the manifest write is the commit point)
+        self.committed = [int(g) for g in
+                          self.manifest.get("committed_gens", [])] or None
+
+        def vis(df: DataFrame) -> DataFrame:
+            if self.committed is not None and "gen" in df.columns:
+                return df.filter(F.col("gen").isin(self.committed))
+            return df
+        self.dict = vis(spark.read.parquet(f"{self.dir}/dict"))
+        self.postings = vis(spark.read.parquet(f"{self.dir}/postings"))
+        self.docs = vis(spark.read.parquet(f"{self.dir}/docs")).drop("gen")
+        self.docstats = vis(spark.read.parquet(f"{self.dir}/docstats"))
+        # block-max bounds need per-block min doclen (format v3) so they
+        # can be evaluated under the CURRENT 1/avgdl — stored bounds go
+        # stale when an upsert shifts avg_doclen (ADVICE r01)
+        self.prune_capable = "block_min_doclen" in self.postings.columns
         # upsert artifacts (mdq_spark.upsert): tombstoned docs are
         # filtered after decode; dict deltas keep df/cf exact
         tomb_path = os.path.join(self.dir, "tombstones")
         self.tombstones = None
         if os.path.exists(tomb_path):
-            t = spark.read.parquet(tomb_path).select("doc_id").distinct()
+            t = vis(spark.read.parquet(tomb_path)) \
+                .select("doc_id").distinct()
             self.tombstones = t if t.limit(1).count() else None
         delta_path = os.path.join(self.dir, "dict_delta")
-        self.dict_delta = (spark.read.parquet(delta_path)
+        self.dict_delta = (vis(spark.read.parquet(delta_path))
                            if os.path.exists(delta_path) else None)
 
     # -- dictionary access -------------------------------------------------
@@ -335,73 +538,80 @@ class Searcher:
         walk(node)
         return self._synonym(dict(counts), ctx)
 
+    def _block_merge(self, children: tuple, ctx: dict,
+                     op: Optional[str] = None,
+                     window: int = 0) -> Optional[DataFrame]:
+        """AND / PHRASE / NEAR over Term children as a block-local
+        merge: ONE exchange of the compact ENCODED posting rows on the
+        shared doc-range block key (bytes, ~2 orders of magnitude
+        smaller than decoded rows), then per-block decode + intersect +
+        score + position check inside a single Arrow kernel.  Replaces
+        the per-term decode + N-way shuffle join on doc_id — the plan
+        has no Exchange between decoded scans (VERDICT r01 #8), and the
+        per-block working set is bounded by block_span per term at any
+        corpus size."""
+        need_pos = op in ("PHRASE", "NEAR")
+        known = ctx["dict"]["all"]
+
+        def member_of(leaf):
+            """("term"/"syn", [terms], tw) for a Term or Wildcard leaf;
+            None if the leaf matches nothing."""
+            if isinstance(leaf, Term):
+                info = ctx["dict"]["exact"].get(leaf.term)
+                if not info:
+                    return None
+                return ("term", [leaf.term], bm25.termweight(
+                    self.N, int(info["df"]), leaf.wqf))
+            ts = ctx["dict"]["expansions"].get(leaf.pattern, [])
+            df_est = min(self.N, sum(int(known[t]["df"])
+                                     for t in ts if t in known))
+            if df_est <= 0:
+                return None
+            return ("syn", ts, bm25.termweight(self.N, df_est, 1))
+
+        groups = []
+        for c in children:
+            if isinstance(c, (Term, Wildcard)):
+                if need_pos and not isinstance(c, Term):
+                    return None  # positions live on term leaves only
+                leaves = [c]
+            elif (not need_pos and isinstance(c, Bool) and c.op == "OR"
+                  and all(isinstance(g, (Term, Wildcard))
+                          for g in c.children)):
+                # the parser's free-text shape: (WILDCARD x OR Zstem)
+                leaves = list(c.children)
+            else:
+                return None  # not mergeable; caller uses the join path
+            group = [m for m in (member_of(le) for le in leaves) if m]
+            if not group:
+                return self._empty()  # child matches nothing -> AND empty
+            groups.append(group)
+        distinct = sorted({t for g in groups for _, ts, _ in g for t in ts})
+        blocks = self._scan_blocks(distinct)
+        if ctx.get("blocks") is not None:
+            blocks = blocks.filter(
+                F.col("block").isin([int(b) for b in ctx["blocks"]]))
+        cols = ["block", "term", "n", "doc_gaps", "wdfs", "doclens"]
+        if need_pos:
+            cols.append("positions")
+        enc = (blocks.select(*cols)
+               .repartition("block").sortWithinPartitions("block"))
+        out = enc.mapInPandas(
+            _merge_kernel(groups, distinct, op, window, self.lf),
+            "doc_id bigint, weight double")
+        if self.tombstones is not None:
+            out = out.join(self.tombstones, "doc_id", "left_anti")
+        if ctx["allowed"] is not None:
+            out = out.join(ctx["allowed"], "doc_id", "left_semi")
+        return out
+
     def _positional(self, node: Positional, ctx: dict) -> DataFrame:
-        """PHRASE / NEAR: per-term decoded scans joined on doc_id (the
-        AND), per-child BM25 weights as JVM column expressions, and one
-        Arrow batch pass for the position-window check — a single Spark
-        action end-to-end, no per-doc Python grouping."""
-        child_terms = []
-        for c in node.children:
-            if not isinstance(c, Term):
-                return self._empty()
-            child_terms.append(c.term)
-        if any(t not in ctx["dict"]["exact"] for t in child_terms):
-            return self._empty()
-        distinct_terms = sorted(set(child_terms))
-        col_of = {t: f"p_{i}" for i, t in enumerate(distinct_terms)}
-
-        base = None
-        for t in distinct_terms:
-            d = self._decoded([t], with_positions=True,
-                              allowed=ctx["allowed"],
-                              block_ids=ctx.get("blocks")) \
-                .select("doc_id",
-                        F.col("positions").alias(col_of[t]),
-                        F.col("wdf").alias(f"w_{col_of[t]}"),
-                        F.col("doclen").alias(f"l_{col_of[t]}"))
-            base = d if base is None else base.join(d, "doc_id")
-        # weight = sum of per-child sumparts (children may repeat a term)
-        weight = F.lit(0.0)
-        first_len = f"l_{col_of[distinct_terms[0]]}"
-        for c in node.children:
-            info = ctx["dict"]["exact"][c.term]
-            tw = bm25.termweight(self.N, int(info["df"]), c.wqf)
-            wdf = F.col(f"w_{col_of[c.term]}")
-            normlen = F.greatest(F.col(first_len) * F.lit(self.lf),
-                                 F.lit(bm25.MIN_NORMLEN))
-            denom = F.lit(bm25.K1) * (normlen * F.lit(bm25.B)
-                                      + F.lit(1.0 - bm25.B)) + wdf
-            weight = weight + F.lit(tw) * (wdf / denom)
-        base = base.select("doc_id", weight.alias("weight"),
-                           *[col_of[t] for t in distinct_terms])
-
-        op, window = node.op, node.window
-        order_cols = [col_of[c.term] for c in node.children]
-
-        def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                keep = []
-                for row in pdf.itertuples(index=False):
-                    rd = row._asdict()
-                    plists = []
-                    ok = True
-                    for cname in order_cols:
-                        pl = rd[cname]
-                        if pl is None or len(pl) == 0:
-                            ok = False
-                            break
-                        plists.append(sorted(pl))
-                    if not ok:
-                        keep.append(False)
-                        continue
-                    if op == "PHRASE":
-                        keep.append(
-                            OracleIndex._phrase_hit(plists, window))
-                    else:
-                        keep.append(OracleIndex._near_hit(plists, window))
-                yield pdf.loc[keep, ["doc_id", "weight"]]
-
-        return base.mapInPandas(check, "doc_id bigint, weight double")
+        """PHRASE / NEAR via the block-local merge kernel: positions are
+        only decoded for docs that survive the AND intersection, and the
+        window check is vectorized (no per-row Python)."""
+        out = self._block_merge(node.children, ctx, op=node.op,
+                                window=node.window)
+        return out if out is not None else self._empty()
 
     def _bool(self, node: Bool, ctx: dict) -> DataFrame:
         op = node.op
@@ -441,6 +651,10 @@ class Searcher:
             return out.groupBy("doc_id").agg(
                 F.sum("weight").alias("weight")) if out is not None \
                 else self._empty()
+        if op == "AND":
+            merged = self._block_merge(node.children, ctx)
+            if merged is not None:
+                return merged
         sides = [self._eval(c, ctx) for c in node.children]
         if op == "OR":
             out = sides[0]
@@ -533,30 +747,45 @@ class Searcher:
         """Block-max WAND, batch-adapted: (1) read only the tiny metadata
         columns of the query terms' posting blocks (parquet never touches
         the binary payload), (2) driver-side interval sweep sums each
-        doc-range block's score upper bound Σ tw_u·Σ m_t·block_max_part_t,
+        doc-range block's score upper bound Σ tw_u·Σ m_t·part_ub(t, b),
         (3) exactly score the best-bounded blocks to establish θ = kth
         score, (4) decode only blocks whose bound >= θ.  Sound: a doc
         outside kept blocks scores < θ.  Bound validity for synonyms:
-        f(w)=w/(c+w) is subadditive, so the per-term block-max parts sum
-        to a valid synonym bound."""
+        f(w)=w/(c+w) is subadditive, so the per-term block bounds sum
+        to a valid synonym bound.
+
+        Upsert-safe (ADVICE r01): (a) bounds are computed HERE from the
+        stored block_max_wdf + block_min_doclen under the current
+        1/avgdl — never from the stale build-time block_max_part — so a
+        shifted avg_doclen cannot make live scores exceed the bound;
+        (b) an upsert can append a second row for the same (term,
+        block), so per-(term, block) the bound is the max over rows and
+        the doc count the sum (each doc lives in exactly one row)."""
+        if not self.prune_capable:
+            return None
         all_terms = sorted({t for _, tm in units for t in tm})
         if not all_terms:
             return None
         meta = (self._scan_blocks(all_terms)
-                .select("term", "block", "n", "block_max_part")
+                .select("term", "block", "n", "block_max_wdf",
+                        "block_min_doclen")
                 .collect())
         if not meta:
             return self._empty()
-        by_term = {}
+        by_term: dict = {}
         for r in meta:
-            by_term.setdefault(r["term"], {})[r["block"]] = r
+            part = bm25.maxpart(1.0, int(r["block_max_wdf"]),
+                                int(r["block_min_doclen"]), self.lf)
+            blocks = by_term.setdefault(r["term"], {})
+            prev_part, prev_n = blocks.get(r["block"], (0.0, 0))
+            blocks[r["block"]] = (max(prev_part, part), prev_n + r["n"])
         ub: dict = {}
         ndocs: dict = {}
         for tw, tm in units:
             for t, m in tm.items():
-                for b, r in by_term.get(t, {}).items():
-                    ub[b] = ub.get(b, 0.0) + tw * m * r["block_max_part"]
-                    ndocs[b] = max(ndocs.get(b, 0), r["n"])
+                for b, (part, n) in by_term.get(t, {}).items():
+                    ub[b] = ub.get(b, 0.0) + tw * m * part
+                    ndocs[b] = max(ndocs.get(b, 0), n)
         order = sorted(ub, key=lambda b: -ub[b])
         seed, covered = [], 0
         for b in order:
@@ -580,12 +809,41 @@ class Searcher:
         final_ctx["blocks"] = kept
         return self._eval(node, final_ctx)
 
+    def percent_min_wt(self, node: Node, ctx: dict, weights: DataFrame,
+                       percent_cutoff: int) -> Optional[float]:
+        """Xapian percent-cutoff threshold (multimatch.cc:579-582,
+        903-941): percent_scale = (subqueries matched by the
+        greatest-weight doc / total subqueries) / greatest weight; keep
+        docs with weight >= (pct/100 - DBL_EPSILON) / percent_scale.
+        The matched-subquery count is exact for unit-decomposable trees
+        (one tiny pruned scan of the greatest doc's terms); other trees
+        use ratio 1, which equals Xapian whenever the greatest doc
+        matches every leaf (always true for AND-semantics trees)."""
+        top = weights.orderBy(F.desc("weight"), F.asc("doc_id")) \
+            .limit(1).collect()
+        if not top or top[0]["weight"] <= 0:
+            return None
+        gdoc, gw = top[0]["doc_id"], top[0]["weight"]
+        units = self._scoring_units(node, ctx)
+        if units:
+            all_terms = sorted({t for _, tm in units for t in tm})
+            present = {r["term"] for r in
+                       self._decoded(all_terms)
+                       .filter(F.col("doc_id") == gdoc)
+                       .select("term").distinct().collect()}
+            gn = sum(1 for _, tm in units if any(t in present for t in tm))
+            ratio = gn / len(units)
+        else:
+            ratio = 1.0
+        return (percent_cutoff / 100.0 - bm25.DBL_EPSILON) / (ratio / gw)
+
     # -- public API -----------------------------------------------------------
 
     def query_df(self, query: str, k: int = DEFAULT_K,
                  filters: Optional[Column] = None,
                  prune: str = "auto",
-                 min_weight: float = 0.0) -> DataFrame:
+                 min_weight: float = 0.0,
+                 percent_cutoff: int = 0) -> DataFrame:
         """Top-k as a DataFrame (doc_id, score), ties broken by doc_id.
 
         ``filters`` is a pyspark Column predicate over the docs table
@@ -594,7 +852,14 @@ class Searcher:
 
         ``prune``: 'auto' enables block-max pruning for OR/term-only
         plans when the index spans multiple doc-range blocks; 'always'
-        forces it (tests); 'never' disables."""
+        forces it (tests); 'never' disables.
+
+        ``percent_cutoff`` mirrors Enquire::set_cutoff(percent)
+        (omenquire.cc:872-876, multimatch.cc:579-582/903-941): keep
+        docs whose weight >= (pct/100 - DBL_EPSILON) / percent_scale,
+        where percent_scale = (subqueries matched by the greatest-weight
+        doc / total subqueries) / greatest weight.  Disables pruning —
+        the cutoff floor can sit below the top-k pruning threshold."""
         node = parse_user_query(query)
         terms: set = set()
         patterns: set = set()
@@ -606,7 +871,7 @@ class Searcher:
         if filters is not None:
             ctx["allowed"] = self.docs.filter(filters).select("doc_id")
         weights = None
-        if prune != "never" and filters is None:
+        if prune != "never" and filters is None and not percent_cutoff:
             units = self._scoring_units(node, ctx)
             if units:
                 min_blocks = 1 if prune == "always" else 64
@@ -615,6 +880,11 @@ class Searcher:
                     weights = self._eval_pruned(node, ctx, k, units)
         if weights is None:
             weights = self._eval(node, ctx)
+        if percent_cutoff:
+            min_wt = self.percent_min_wt(node, ctx, weights,
+                                         percent_cutoff)
+            if min_wt is not None:
+                weights = weights.filter(F.col("weight") >= min_wt)
         if min_weight > 0.0:
             # weight cutoff (O5, Enquire::set_cutoff)
             weights = weights.filter(F.col("weight") >= min_weight)
@@ -679,19 +949,23 @@ class Searcher:
         plans are tagged and unioned, ranked with a window per query.
         Returns (query_id, doc_id, score, rank).  This is how a training
         pipeline scores millions of queries — per-query job latency
-        (~1 s floor) amortizes to throughput."""
+        (~1 s floor) amortizes to throughput.  The dictionary is
+        consulted in ONE scan for the union of every query's terms and
+        patterns (VERDICT r01 #7), so driver-side work stays a single
+        job regardless of the log size."""
         from pyspark.sql import Window
-        tagged = None
+        nodes: dict = {}
+        terms: set = set()
+        patterns: set = set()
         for qid, q in queries.items():
-            node = parse_user_query(q)
-            terms: set = set()
-            patterns: set = set()
-            self._walk(node, terms, patterns)
-            ctx = {"dict": self._dict_lookup(sorted(terms),
-                                             sorted(patterns)),
-                   "allowed": None}
-            if filters is not None:
-                ctx["allowed"] = self.docs.filter(filters).select("doc_id")
+            nodes[qid] = parse_user_query(q)
+            self._walk(nodes[qid], terms, patterns)
+        shared_dict = self._dict_lookup(sorted(terms), sorted(patterns))
+        allowed = (self.docs.filter(filters).select("doc_id")
+                   if filters is not None else None)
+        tagged = None
+        for qid, node in nodes.items():
+            ctx = {"dict": shared_dict, "allowed": allowed}
             w = self._eval(node, ctx).withColumn("query_id", F.lit(qid))
             tagged = w if tagged is None else tagged.unionByName(w)
         if tagged is None:

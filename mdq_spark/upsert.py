@@ -17,30 +17,41 @@ The reference upserts by identity term ``Q + fullpath``
 5. ``globalstats`` is recomputed exactly from docstats minus tombstones;
 6. the manifest records the new generation (the "commit").
 
+Crash atomicity (ADVICE r01): every appended row carries the new
+generation id in a ``gen`` column, and Searcher only reads rows whose
+gen appears in the manifest's ``committed_gens`` list.  The manifest
+write is therefore the commit point — a crash at ANY earlier step
+leaves only rows with an uncommitted gen, which stay invisible forever
+(and are dropped by the next compact()).  A retry allocates a fresh gen
+past any orphans, so partial leftovers can never be double-counted.
+In production the appends + manifest write map to an Iceberg MERGE
+INTO + snapshot commit (SURVEY.md §1.4).
+
 Query-side (search.py) merges dict rows + deltas per term and anti-joins
 tombstones after decode, so results equal a from-scratch rebuild of the
 current corpus — asserted by tests.  ``compact()`` is the merge step
-that folds tombstones away by rebuilding from the live doc set (run it
-when the tombstone ratio grows).  In production the appends + manifest
-write map to an Iceberg MERGE INTO + snapshot commit (SURVEY.md §1.4).
+that folds tombstones away by rebuilding from the live doc set;
+``upsert(..., auto_compact_ratio=r)`` triggers it automatically when the
+tombstone ratio exceeds ``r``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
 from . import bm25
 from .build import (
-    POSTINGS_SCHEMA, TERMS_SCHEMA, _encode_runs, _tokenize_batches,
-    build_index,
+    FORMAT_VERSION, POSTINGS_SCHEMA, TERMS_SCHEMA, _encode_runs,
+    _tokenize_batches, build_index,
 )
 
 TOMBSTONE_SCHEMA = "doc_id bigint, gen int"
-DICT_DELTA_SCHEMA = "term string, bucket int, ddf bigint, dcf bigint"
+DICT_DELTA_SCHEMA = "term string, bucket int, ddf bigint, dcf bigint, gen int"
 
 
 def _manifest(index_dir: str) -> dict:
@@ -49,46 +60,67 @@ def _manifest(index_dir: str) -> dict:
 
 
 def _write_manifest(index_dir: str, m: dict) -> None:
-    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+    path = os.path.join(index_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(m, f, indent=2)
+    os.replace(tmp, path)  # atomic on POSIX — this IS the commit
 
 
 def upsert(spark: SparkSession, index_dir: str,
-           new_docs_df: DataFrame) -> dict:
+           new_docs_df: DataFrame,
+           auto_compact_ratio: float | None = None) -> dict:
     """Batch upsert keyed by fullpath.  ``new_docs_df`` must have the
     DOCS_SCHEMA columns except ``doc_id`` may be arbitrary (fresh ids
-    are assigned here)."""
+    are assigned here).  ``auto_compact_ratio``: if set, a compaction
+    runs in place after the commit when tombstones exceed that fraction
+    of total docs."""
     index_dir = index_dir.rstrip("/")
     m = _manifest(index_dir)
-    gen = int(m.get("generation", 0)) + 1
+    if int(m.get("format_version", 1)) != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} is format v{m.get('format_version')}, "
+            f"this build writes v{FORMAT_VERSION}: run compact() (or "
+            f"rebuild) before upserting")
+    committed = [int(g) for g in m.get("committed_gens", [0])]
     block_span = int(m["block_span"])
     n_buckets = int(m["n_buckets"])
     mode = m.get("mode", "xapian")
 
-    docs = spark.read.parquet(f"{index_dir}/docs")
-    docstats = spark.read.parquet(f"{index_dir}/docstats")
-    terms = spark.read.parquet(f"{index_dir}/terms")
-    tomb_path = f"{index_dir}/tombstones"
-    old_tombs = (spark.read.parquet(tomb_path)
-                 if os.path.exists(tomb_path) else None)
+    docs_all = spark.read.parquet(f"{index_dir}/docs")
+    # fresh gen PAST any orphan appends from crashed attempts (docs is
+    # the first artifact an attempt writes, so orphan gens appear there)
+    max_seen = docs_all.agg(F.max("gen")).collect()[0][0] or 0
+    gen = max(max(committed), int(max_seen)) + 1
 
-    # 1. tombstone replaced fullpaths (Q+fullpath identity, S3)
+    docs = docs_all.filter(F.col("gen").isin(committed))
+    terms = spark.read.parquet(f"{index_dir}/terms") \
+        .filter(F.col("gen").isin(committed))
+    tomb_path = f"{index_dir}/tombstones"
+    old_tombs = None
+    if os.path.exists(tomb_path):
+        old_tombs = spark.read.parquet(tomb_path) \
+            .filter(F.col("gen").isin(committed))
+
+    # 1. tombstones for replaced fullpaths (Q+fullpath identity, S3) —
+    # computed now, written after the data appends, visible at commit
     incoming_paths = new_docs_df.select("fullpath").distinct()
     live = docs
     if old_tombs is not None:
         live = live.join(old_tombs.select("doc_id"), "doc_id", "left_anti")
     tombs = live.join(incoming_paths, "fullpath", "left_semi") \
         .select("doc_id").withColumn("gen", F.lit(gen))
-    tombs.write.mode("append").parquet(tomb_path)
-    all_tombs = spark.read.parquet(tomb_path).select("doc_id")
 
-    # 2. fresh dense doc_ids past the old maximum
+    # 2. fresh dense doc_ids past the committed maximum.  Orphan rows
+    # from a crashed attempt may share these ids — harmless, since only
+    # one gen holding a given doc_id can ever be committed.
     next_id = int(m.get("next_doc_id", 0))
     if not next_id:
         next_id = int(docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
     ordered = new_docs_df.drop("doc_id") \
         .sortWithinPartitions("fullpath")
-    cols = [c for c in docs.columns if c != "doc_id"]
+    cols = [c for c in docs.columns if c not in ("doc_id", "gen")]
+    doc_schema = docs.drop("gen").schema
 
     def assign(pair):
         row, idx = pair
@@ -96,40 +128,53 @@ def upsert(spark: SparkSession, index_dir: str,
         return Row(doc_id=idx + next_id,
                    **{c: d.get(c) for c in cols})
     new_docs = spark.createDataFrame(
-        ordered.rdd.zipWithIndex().map(assign), schema=docs.schema)
+        ordered.rdd.zipWithIndex().map(assign), schema=doc_schema)
     n_new = new_docs.count()
 
-    # 3. append forward store + tokenized staging + postings + dict
-    new_docs.write.mode("append").parquet(f"{index_dir}/docs")
-    new_terms = new_docs.mapInPandas(
+    # 3. append forward store + tokenized staging + postings + dict,
+    # all tagged with the uncommitted gen
+    new_docs.withColumn("gen", F.lit(gen)) \
+        .write.mode("append").parquet(f"{index_dir}/docs")
+    staged = new_docs.mapInPandas(
         _tokenize_batches(n_buckets, block_span, mode), schema=TERMS_SCHEMA)
-    new_terms.write.mode("append").parquet(f"{index_dir}/terms")
+    staged.withColumn("gen", F.lit(gen)) \
+        .write.mode("append").parquet(f"{index_dir}/terms")
     new_terms = spark.read.parquet(f"{index_dir}/terms") \
-        .filter(F.col("doc_id") >= next_id)
+        .filter(F.col("gen") == gen)
     (new_terms.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
+     .withColumn("gen", F.lit(gen))
      .write.mode("append").parquet(f"{index_dir}/docstats"))
     (new_terms.groupBy("term", "bucket")
      .agg(F.count("doc_id").alias("df"), F.sum("wdf").alias("cf"),
           F.max("wdf").alias("wdf_max"))
+     .withColumn("gen", F.lit(gen))
      .write.mode("append").partitionBy("bucket")
      .parquet(f"{index_dir}/dict"))
 
-    # 4. exact negative dict deltas for tombstoned docs (from staging)
+    # 4. exact negative dict deltas for tombstoned docs (from committed
+    # staging rows only — orphan doc_id collisions are filtered out)
     this_tombs = tombs.select("doc_id")
     neg = (terms.join(this_tombs, "doc_id", "left_semi")
            .groupBy("term", "bucket")
            .agg((-F.count("doc_id")).cast("long").alias("ddf"),
-                (-F.sum("wdf")).cast("long").alias("dcf")))
+                (-F.sum("wdf")).cast("long").alias("dcf"))
+           .withColumn("gen", F.lit(gen)))
     neg.write.mode("append").parquet(f"{index_dir}/dict_delta")
 
-    # 5. exact global stats over live docs
-    live_stats = spark.read.parquet(f"{index_dir}/docstats") \
-        .join(all_tombs, "doc_id", "left_anti")
+    # 5. exact global stats over live docs as of this gen
+    vis = committed + [gen]
+    all_tomb_ids = tombs.select("doc_id")
+    if old_tombs is not None:
+        all_tomb_ids = all_tomb_ids.unionByName(old_tombs.select("doc_id"))
+    live_stats = (spark.read.parquet(f"{index_dir}/docstats")
+                  .filter(F.col("gen").isin(vis))
+                  .join(all_tomb_ids.distinct(), "doc_id", "left_anti"))
     gs = live_stats.agg(
         F.count("doc_id").alias("n_docs"),
         F.sum("doclen").alias("total_doclen"),
         F.min("doclen").alias("doclen_lb"),
-        F.max("doclen").alias("doclen_ub")).collect()[0].asDict()
+        F.max("doclen").alias("doclen_ub"),
+        F.max("doc_id").alias("max_doc_id")).collect()[0].asDict()
     gs["avg_doclen"] = (gs["total_doclen"] / gs["n_docs"]) \
         if gs["n_docs"] else 0.0
     spark.createDataFrame([gs]).write.mode("overwrite") \
@@ -140,11 +185,16 @@ def upsert(spark: SparkSession, index_dir: str,
     (new_terms.repartition("term", "block")
      .sortWithinPartitions("term", "block", "doc_id")
      .mapInPandas(_encode_runs(lf), schema=POSTINGS_SCHEMA)
+     .withColumn("gen", F.lit(gen))
      .write.mode("append").partitionBy("bucket")
      .parquet(f"{index_dir}/postings"))
 
+    # tombstones last among the data writes; manifest write = commit
+    tombs.write.mode("append").parquet(tomb_path)
+
     # 6. commit
     m["generation"] = gen
+    m["committed_gens"] = committed + [gen]
     m["next_doc_id"] = next_id + n_new
     m["globalstats"] = {k: float(v) if v is not None else None
                         for k, v in gs.items()}
@@ -152,19 +202,54 @@ def upsert(spark: SparkSession, index_dir: str,
         "gen": gen, "n_new": n_new, "ts": time.time(),
     })
     _write_manifest(index_dir, m)
+
+    if auto_compact_ratio is not None:
+        n_live = int(gs["n_docs"] or 0)
+        n_tomb = spark.read.parquet(tomb_path) \
+            .filter(F.col("gen").isin(m["committed_gens"])) \
+            .select("doc_id").distinct().count() \
+            if os.path.exists(tomb_path) else 0
+        total = n_live + n_tomb
+        if total and n_tomb / total >= auto_compact_ratio:
+            m = compact_in_place(spark, index_dir)
     return m
 
 
 def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     """Fold tombstones away: rebuild a fresh index from the live doc
-    set (the merge step; run when the tombstone ratio grows)."""
+    set (the merge step; run when the tombstone ratio grows).  Reads
+    only committed, non-tombstoned docs — orphan rows from crashed
+    upserts are dropped here."""
     index_dir = index_dir.rstrip("/")
     m = _manifest(index_dir)
+    committed = [int(g) for g in m.get("committed_gens", [0])]
     docs = spark.read.parquet(f"{index_dir}/docs")
+    if "gen" in docs.columns:
+        docs = docs.filter(F.col("gen").isin(committed)).drop("gen")
     tomb_path = f"{index_dir}/tombstones"
     if os.path.exists(tomb_path):
-        tombs = spark.read.parquet(tomb_path).select("doc_id")
+        tombs = spark.read.parquet(tomb_path) \
+            .filter(F.col("gen").isin(committed)).select("doc_id")
         docs = docs.join(tombs, "doc_id", "left_anti")
     return build_index(spark, docs, out_dir, mode=m.get("mode", "xapian"),
                        block_span=int(m["block_span"]),
-                       n_buckets=int(m["n_buckets"]))
+                       n_buckets=int(m["n_buckets"]), force=True)
+
+
+def compact_in_place(spark: SparkSession, index_dir: str) -> dict:
+    """Compact into a sibling temp dir, then swap it in.  The swap is
+    two renames; the manifest inside the new dir is complete before the
+    swap, so a reader that re-opens mid-swap sees either the old or the
+    new index, never a partial one."""
+    index_dir = index_dir.rstrip("/")
+    tmp = index_dir + ".compact_tmp"
+    old = index_dir + ".compact_old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    manifest = compact(spark, index_dir, tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old)
+    return manifest

@@ -76,3 +76,15 @@ def test_position_list_roundtrip(vals):
     # concatenation of per-doc buffers == whole-block encode_positions
     buf2 = encode_position_list(vals) + encode_position_list([7, 9])
     assert buf2 == encode_positions([vals, [7, 9]])
+
+
+@given(st.lists(st.integers(min_value=1, max_value=1000), max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_position_list_unsorted_fallback(vals):
+    """Unsorted/duplicate positions must encode as sorted-unique, not
+    crash on a negative gap (ADVICE r01 low)."""
+    from mdq_spark.codec import encode_position_list
+    buf = encode_position_list(vals)
+    assert buf == encode_position_list(sorted(set(vals)))
+    out = decode_positions(buf, 1)
+    assert [int(x) for x in out[0]] == sorted(set(vals))

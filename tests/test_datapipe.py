@@ -97,10 +97,37 @@ def test_ann_lsh_contains_true_nn(spark):
 
 
 def test_pair_ops_have_no_cartesian(spark, docs):
-    from mdq_spark.datapipe import minhash_lsh_pairs, ngram_jaccard_pairs
-    for df in (minhash_lsh_pairs(docs), ngram_jaccard_pairs(docs)):
+    import math
+    from mdq_spark.datapipe import (
+        embedding_neardup_pairs_blocked, minhash_lsh_pairs,
+        ngram_jaccard_pairs)
+    rows = [(i, [math.sin(i * 0.31 + j) for j in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for df in (minhash_lsh_pairs(docs), ngram_jaccard_pairs(docs),
+               embedding_neardup_pairs_blocked(emb, threshold=0.8,
+                                               n_centroids=4)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+def test_blocked_neardup_equals_bruteforce(spark):
+    """The centroid-blocked exact pair search must return the same
+    pairs+scores as the O(n²) variant (recall 1.0 by construction)."""
+    import math
+    from mdq_spark.datapipe import (
+        embedding_neardup_pairs, embedding_neardup_pairs_blocked)
+    rows = [(i, [math.sin(i * 0.13 + 0.9 * j) for j in range(8)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for thr in (0.3, 0.8, 0.95):
+        brute = {(r["a"], r["b"]): r["cos"] for r in
+                 embedding_neardup_pairs(emb, threshold=thr).collect()}
+        blocked = {(r["a"], r["b"]): r["cos"] for r in
+                   embedding_neardup_pairs_blocked(
+                       emb, threshold=thr, n_centroids=5).collect()}
+        assert blocked == brute
+        assert brute  # non-degenerate fixture
 
 
 # --- multimodal plumbing -----------------------------------------------------
@@ -112,7 +139,7 @@ def test_multimodal_features(spark):
     feats = extract_features(media, dim=8).collect()
     assert len(feats) == 12
     by_id = {r["media_id"]: r for r in feats}
-    payload = hashlib.sha256(b"media-0").digest() * 4
+    payload = (hashlib.sha256(b"media-0").hexdigest() * 4).encode()
     assert list(by_id[0]["feature"]) == pytest.approx(
         fake_decode(payload, 8), abs=1e-6)
     assert by_id[0]["payload_sha"] == hashlib.sha256(payload).hexdigest()

@@ -211,6 +211,41 @@ def test_blockmax_prune_identical(searcher, q):
            [(r["doc_id"], round(r["score"], 9)) for r in pruned]
 
 
+def test_block_merge_single_exchange(searcher):
+    """AND and positional plans use the block-local merge: one Exchange
+    of ENCODED rows on the block key, no shuffle join of decoded
+    streams (VERDICT r01 #8), no per-row Python (VERDICT r01 #2)."""
+    # covers Term children, (WILDCARD x OR Zstem) children (the parsed
+    # free-text shape), and multi-term PHRASE
+    for q in ["spark AND query", "spark AND query ", '"quick brown" ',
+              '"hee hee hee" ']:
+        df = searcher.query_df(q, k=3, prune="never")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, q
+        assert "ShuffledHashJoin" not in plan, q
+        assert plan.count("Exchange") == 1, (q, plan)
+
+
+@pytest.mark.parametrize("pct", [20, 50, 80])
+def test_percent_cutoff_parity(searcher, oracle, pct):
+    """Enquire::set_cutoff(percent) parity (omenquire.cc:872-876):
+    unit-decomposable OR trees use the exact matched-subquery ratio;
+    AND-shaped trees use ratio 1."""
+    for q in ["spark OR quick", "planner OR fox", "spark AND query "]:
+        exp = oracle.search(q, percent_cutoff=pct)
+        act = [(r["doc_id"], r["score"]) for r in
+               searcher.query_df(q, k=100, percent_cutoff=pct).collect()]
+        assert_results_match(exp, act)
+
+
+def test_percent_cutoff_monotone(searcher, oracle):
+    q = "spark OR quick OR planner"
+    sizes = [len(searcher.query_df(q, k=100, percent_cutoff=p).collect())
+             for p in (0, 30, 60, 90)]
+    assert sizes == sorted(sizes, reverse=True)
+    assert sizes[0] > sizes[-1]  # the cutoff actually bites
+
+
 def test_pagination_parity(searcher, oracle):
     exp = oracle.search("spark ", k=3, offset=2)
     act = searcher.search("spark ", k=3, offset=2)

@@ -114,3 +114,79 @@ def test_compact_equals_upserted(spark, upserted, tmp_path_factory):
     s_after = Searcher(spark, cout)
     for q, exp in expected.items():
         assert_results_match(exp, s_after.search(q))
+
+
+@pytest.mark.parametrize("q", ["beta OR zeta", "alpha OR omega", "gamma "])
+def test_blockmax_prune_identical_after_upsert(spark, upserted, q):
+    """ADVICE r01 (high): upserts append duplicate (term, block) rows
+    when fresh ids start mid-block, and shift avg_doclen away from the
+    stored build-time bounds.  Pruning must still be exact."""
+    s = Searcher(spark, upserted[0])
+    # the fixture really does produce the duplicate-row condition
+    from pyspark.sql import functions as F
+    dups = (s.postings.groupBy("term", "block")
+            .count().filter(F.col("count") > 1).count())
+    assert dups > 0, "fixture no longer exercises duplicate (term,block)"
+    plain = s.query_df(q, k=3, prune="never").collect()
+    pruned = s.query_df(q, k=3, prune="always").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in plain] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in pruned]
+
+
+def test_crashed_upsert_invisible_then_retry(spark, tmp_path_factory):
+    """ADVICE r01 (medium): a crash mid-upsert must not change what a
+    Searcher sees (visibility is gated on the manifest commit), and a
+    retry must converge to the fresh-rebuild state without
+    double-counting the orphan rows."""
+    import json
+    import os
+    out = str(tmp_path_factory.mktemp("crash"))
+    df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
+    build_index(spark, df, out, block_span=4, n_buckets=8)
+    before = Searcher(spark, out)
+    pre = {q: before.search(q) for q in ["alpha ", "beta ", "delta "]}
+    with open(os.path.join(out, "manifest.json")) as f:
+        pre_manifest = f.read()
+
+    # run the full upsert, then roll the manifest back — byte-identical
+    # to a crash at any point before the commit line
+    batch = spark.createDataFrame(BATCH, schema=DOCS_SCHEMA)
+    upsert(spark, out, batch)
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        f.write(pre_manifest)
+
+    crashed = Searcher(spark, out)
+    for q, exp in pre.items():
+        assert_results_match(exp, crashed.search(q))
+    # replaced docs still findable, new docs invisible
+    assert {d for d, _ in crashed.search("delta ")} == {2, 3}
+    assert crashed.search("zeta ") == []
+
+    # retry: allocates a gen past the orphan, results = fresh rebuild
+    m2 = upsert(spark, out, batch)
+    assert m2["generation"] == 2  # orphan gen 1 skipped
+    assert 1 not in m2["committed_gens"]
+    retried = Searcher(spark, out)
+    oracle = OracleIndex.build(FINAL)
+    for q in QUERIES:
+        assert_results_match(oracle.search(q), retried.search(q))
+    # and global stats were not double-counted
+    assert int(m2["globalstats"]["n_docs"]) == oracle.N
+    assert m2["globalstats"]["avg_doclen"] == pytest.approx(
+        oracle.avg_doclen)
+
+
+def test_auto_compact_folds_tombstones(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("autoc"))
+    df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
+    build_index(spark, df, out, block_span=4, n_buckets=8)
+    batch = spark.createDataFrame(BATCH, schema=DOCS_SCHEMA)
+    m = upsert(spark, out, batch, auto_compact_ratio=0.25)
+    # 2 tombstones / 7 docs = 0.286 >= 0.25 -> compacted in place
+    assert m["generation"] == 0 and m["committed_gens"] == [0]
+    import os
+    assert not os.path.exists(os.path.join(out, "tombstones"))
+    s = Searcher(spark, out)
+    oracle = OracleIndex.build(FINAL)
+    for q in QUERIES:
+        assert_results_match(oracle.search(q), s.search(q))
