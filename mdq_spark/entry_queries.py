@@ -343,6 +343,74 @@ def _ft_percent_cutoff(spark: SparkSession, sf_dir: str,
                     F.round("weight", 4).cast("double").alias("score")))
 
 
+# spelling suggestion (Q18): same fragment scheme + ranking re-derived
+# in SQL — DuckDB's damerau_levenshtein equals the engine's OSA
+# distance on every (word, term) pair that survives the <=2 cutoff
+SPELL_WORDS = ["spakr", "qurey", "merg", "windoe", "tble", "batch"]
+
+
+def _ft_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = ensure_index(spark, sf_dir, "simple")
+    rows = [(w, s.suggest(w)) for w in SPELL_WORDS]
+    return spark.createDataFrame(rows, "word string, suggestion string")
+
+
+def _spelling_sql(words: list[str]) -> str:
+    from .spell import word_fragments
+    wf_rows = ", ".join(f"('{w}', '{f}')" for w in words
+                        for f in word_fragments(w, query_side=True))
+    qw = ", ".join(f"('{w}')" for w in words)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+lex AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS freq
+        FROM toks GROUP BY term),
+lex2 AS (SELECT * FROM lex WHERE len(term) >= 2),
+tf AS (
+  SELECT term, 'H' || substr(term, 1, 2) AS frag FROM lex2
+  UNION
+  SELECT term, 'T' || substr(term, len(term) - 1, 2) FROM lex2
+  UNION
+  SELECT term, 'B' || substr(term, 1, 1) || substr(term, len(term), 1)
+  FROM lex2 WHERE len(term) <= 4
+  UNION
+  SELECT term, 'M' || substr(term, i + 1, 3)
+  FROM lex2, range(64) t(i)
+  WHERE len(term) > 2 AND i <= len(term) - 3
+),
+wf(word, frag) AS (VALUES {wf_rows}),
+cand AS (
+  SELECT wf.word, tf.term, count(DISTINCT tf.frag) AS score
+  FROM wf JOIN tf ON tf.frag = wf.frag
+  GROUP BY wf.word, tf.term
+),
+mx AS (SELECT word, max(score) AS ms FROM cand GROUP BY word),
+elig AS (
+  SELECT c.word, c.term, l.freq,
+         damerau_levenshtein(c.term, c.word) AS ed
+  FROM cand c JOIN mx USING (word) JOIN lex l ON l.term = c.term
+  WHERE c.score + 2 >= mx.ms AND abs(len(c.term) - len(c.word)) <= 2
+),
+best AS (
+  SELECT word, term, freq,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY ed ASC, freq DESC, term ASC) AS rn
+  FROM elig WHERE ed BETWEEN 1 AND 2
+),
+ex AS (SELECT word, max(freq) AS fx FROM elig WHERE ed = 0 GROUP BY word)
+SELECT q.word,
+       CASE WHEN b.term IS NULL
+                 OR coalesce(x.fx, 0) > coalesce(b.freq, -1)
+            THEN '' ELSE b.term END AS suggestion
+FROM (VALUES {qw}) q(word)
+LEFT JOIN (SELECT word, term, freq FROM best WHERE rn = 1) b USING (word)
+LEFT JOIN ex x USING (word)
+"""
+
+
 # ELITE: keep the 10 highest-termweight children (ties by child order —
 # Python's stable sort; termweight is strictly decreasing in df so
 # ORDER BY df ASC, idx ASC reproduces it), then OR (oracle.py:274-281)
@@ -473,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sp, d, Bool("ELITE", tuple(Term(t, i + 1)
                                    for i, t in enumerate(FT_ELITE_TERMS))))
     q["ft_percent_cutoff"] = _ft_percent_cutoff
+    q["ft_spelling"] = _ft_spelling
 
     # fulltext (Xapian mode, rows-only)
     q["xq_free_text"] = _xq("sort merge join")
@@ -717,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
     o["ft_wildcard_top10"] = _WILDCARD_SQL
     o["ft_elite_top10"] = _ELITE_SQL
     o["ft_percent_cutoff"] = _PERCENT_SQL
+    o["ft_spelling"] = _spelling_sql(SPELL_WORDS)
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_sha,

@@ -398,6 +398,22 @@ class OracleIndex:
         ranked = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[offset:offset + k]
 
+    def suggest(self, word: str, max_edit_distance: int = 2) -> str:
+        """Spelling suggestion over the in-memory lexicon (Q18): same
+        fragment + ranking rules as the distributed path (spell.py)."""
+        from .spell import pick_suggestion, word_fragments
+        if len(word) <= 1:
+            return ""
+        frags = set(word_fragments(word, query_side=True))
+        candidates = []
+        for t, pl in self.postings.items():
+            if len(t) < 2 or ("A" <= t[0] <= "Z"):
+                continue  # field-prefixed / Z-stemmed terms aren't words
+            shared = len(frags & set(word_fragments(t)))
+            if shared:
+                candidates.append((t, len(pl), shared))
+        return pick_suggestion(word, candidates, max_edit_distance)
+
     def match_counts(self, query: str) -> dict:
         n = len(self.evaluate(parse_user_query(query)))
         return {"matches_lower_bound": n, "matches_estimated": n,

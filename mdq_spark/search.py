@@ -389,6 +389,22 @@ class Searcher:
         return {"exact": exact, "expansions": expansions, "all": agg}
 
     @staticmethod
+    def _or_leaves(node: Node) -> Optional[list]:
+        """Flatten a pure-OR tree into its Term/Wildcard leaves; None
+        when any other operator appears (not block-merge-routable)."""
+        if isinstance(node, (Term, Wildcard)):
+            return [node]
+        if isinstance(node, Bool) and node.op == "OR":
+            out: list = []
+            for c in node.children:
+                f = Searcher._or_leaves(c)
+                if f is None:
+                    return None
+                out.extend(f)
+            return out
+        return None
+
+    @staticmethod
     def _walk(node: Node, terms: set, patterns: set):
         if isinstance(node, Term):
             terms.add(node.term)
@@ -474,6 +490,9 @@ class Searcher:
             return dec.select("doc_id",
                               self._weight_col(tw).alias("weight"))
         if isinstance(node, Wildcard):
+            merged = self._block_merge((node,), ctx, combine="OR")
+            if merged is not None:
+                return merged
             terms = ctx["dict"]["expansions"].get(node.pattern, [])
             return self._synonym({t: 1 for t in terms}, ctx)
         if isinstance(node, Scaled):
@@ -540,16 +559,19 @@ class Searcher:
 
     def _block_merge(self, children: tuple, ctx: dict,
                      op: Optional[str] = None,
-                     window: int = 0) -> Optional[DataFrame]:
-        """AND / PHRASE / NEAR over Term children as a block-local
-        merge: ONE exchange of the compact ENCODED posting rows on the
-        shared doc-range block key (bytes, ~2 orders of magnitude
-        smaller than decoded rows), then per-block decode + intersect +
-        score + position check inside a single Arrow kernel.  Replaces
-        the per-term decode + N-way shuffle join on doc_id — the plan
-        has no Exchange between decoded scans (VERDICT r01 #8), and the
-        per-block working set is bounded by block_span per term at any
-        corpus size."""
+                     window: int = 0,
+                     combine: str = "AND") -> Optional[DataFrame]:
+        """AND / OR / PHRASE / NEAR over Term/Wildcard children as a
+        block-local merge: ONE exchange of the compact ENCODED posting
+        rows on the shared doc-range block key (bytes, ~2 orders of
+        magnitude smaller than decoded rows), then per-block decode +
+        intersect/union + score + position check inside a single Arrow
+        kernel.  Replaces the per-term decode + N-way shuffle join on
+        doc_id for AND (VERDICT r01 #8) and the decoded-row
+        union+groupBy shuffle for OR — a doc lives in exactly one
+        doc-range block, so per-block weights are final with no
+        cross-block aggregation.  Per-block working set is bounded by
+        block_span per term at any corpus size."""
         need_pos = op in ("PHRASE", "NEAR")
         known = ctx["dict"]["all"]
 
@@ -569,23 +591,38 @@ class Searcher:
                 return None
             return ("syn", ts, bm25.termweight(self.N, df_est, 1))
 
-        groups = []
-        for c in children:
-            if isinstance(c, (Term, Wildcard)):
-                if need_pos and not isinstance(c, Term):
-                    return None  # positions live on term leaves only
-                leaves = [c]
-            elif (not need_pos and isinstance(c, Bool) and c.op == "OR"
-                  and all(isinstance(g, (Term, Wildcard))
-                          for g in c.children)):
-                # the parser's free-text shape: (WILDCARD x OR Zstem)
-                leaves = list(c.children)
-            else:
-                return None  # not mergeable; caller uses the join path
-            group = [m for m in (member_of(le) for le in leaves) if m]
-            if not group:
-                return self._empty()  # child matches nothing -> AND empty
-            groups.append(group)
+        if combine == "OR":
+            # one flat group: union semantics, weights summed over every
+            # present member; empty leaves just contribute nothing
+            members = []
+            for c in children:
+                if not isinstance(c, (Term, Wildcard)):
+                    return None
+                m = member_of(c)
+                if m:
+                    members.append(m)
+            if not members:
+                return self._empty()
+            groups = [members]
+        else:
+            groups = []
+            for c in children:
+                if isinstance(c, (Term, Wildcard)):
+                    if need_pos and not isinstance(c, Term):
+                        return None  # positions live on term leaves only
+                    leaves = [c]
+                elif (not need_pos and isinstance(c, Bool)
+                      and c.op == "OR"
+                      and all(isinstance(g, (Term, Wildcard))
+                              for g in c.children)):
+                    # the parser's free-text shape: (WILDCARD x OR Zstem)
+                    leaves = list(c.children)
+                else:
+                    return None  # not mergeable; caller uses join path
+                group = [m for m in (member_of(le) for le in leaves) if m]
+                if not group:
+                    return self._empty()  # child matches nothing
+                groups.append(group)
         distinct = sorted({t for g in groups for _, ts, _ in g for t in ts})
         blocks = self._scan_blocks(distinct)
         if ctx.get("blocks") is not None:
@@ -655,6 +692,13 @@ class Searcher:
             merged = self._block_merge(node.children, ctx)
             if merged is not None:
                 return merged
+        if op == "OR":
+            leaves = self._or_leaves(node)
+            if leaves is not None:
+                merged = self._block_merge(tuple(leaves), ctx,
+                                           combine="OR")
+                if merged is not None:
+                    return merged
         sides = [self._eval(c, ctx) for c in node.children]
         if op == "OR":
             out = sides[0]
@@ -978,6 +1022,13 @@ class Searcher:
                 .filter(F.col("rank") <= k)
                 .select("query_id", "doc_id",
                         F.col("weight").alias("score"), "rank"))
+
+    def suggest(self, word: str, max_edit_distance: int = 2) -> str:
+        """Spelling suggestion (Q18, get_spelling_suggestion): trigram
+        fragment index over the dictionary's word terms + edit-distance
+        ranking; '' when the word needs no correction."""
+        from .spell import suggest
+        return suggest(self, word, max_edit_distance)
 
     # Serialization projections (P3, src/document.rs:248-284): which
     # fields each output mode carries.

@@ -1,0 +1,193 @@
+"""Spelling suggestion (SURVEY.md Q18) — trigram-fragment index + edit
+distance, from scratch after Xapian's public spelling design.
+
+The reference sets FLAG_SPELLING_CORRECTION
+(/root/reference/src/interactive/xapian_utils.rs:591) but never calls
+``get_spelling_suggestion`` and never populates a spelling table, so
+there is no reference behavior to match byte-for-byte; this module
+implements the *algorithm* the flag refers to, using the index
+dictionary as the lexicon:
+
+* fragment scheme per xapian-core glass_spelling.cc ``toggle_word``
+  (bundled tarball): 'H'+first two chars, 'T'+last two, 'B'+bookends
+  for words of <= 4 chars, 'M'+every distinct trigram for longer
+  words; the query side adds the transposed variants for 2- and
+  3-char words (``open_termlist``, same file);
+* candidate ranking per Database::get_spelling_suggestion
+  (api/omdatabase.cc:594-697): candidates whose shared-fragment count
+  is within TRIGRAM_SCORE_THRESHOLD=2 of the best are scored by edit
+  distance (transposition-aware); the winner is the minimum-distance
+  candidate, ties broken by higher lexicon frequency then term order,
+  and the suggestion is suppressed when the exact word is itself more
+  frequent than the winner.
+
+Deviations (documented): the score threshold compares against the
+global max rather than Xapian's streaming running-best (a deterministic
+subset), and edit distance is the optimal-string-alignment form of
+Damerau-Levenshtein rather than Ukkonen's ASM (identical on real-word
+typos).
+
+Scale shape: the fragment table is hash-bucketed by fragment like the
+dictionary, so one suggestion reads only the (few dozen) buckets of the
+word's own fragments — never a full dictionary scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TRIGRAM_SCORE_THRESHOLD = 2
+N_FRAG_BUCKETS = 16
+
+
+def word_fragments(word: str, query_side: bool = False) -> list[str]:
+    """H/T/B/M fragments of a word (glass_spelling.cc:208-248); with
+    ``query_side`` the transposed lookup variants for 2- and 3-char
+    words (glass_spelling.cc:305-340)."""
+    frags = ["H" + word[:2], "T" + word[-2:]]
+    if len(word) <= 4:
+        frags.append("B" + word[0] + word[-1])
+    if len(word) > 2:
+        seen = set(frags)
+        for i in range(len(word) - 2):
+            f = "M" + word[i:i + 3]
+            if f not in seen:
+                seen.add(f)
+                frags.append(f)
+        if query_side and len(word) == 3:
+            frags.append("M" + word[1] + word[0] + word[2])
+            frags.append("M" + word[0] + word[2] + word[1])
+    elif query_side:
+        frags.append("H" + word[1] + word[0])
+        frags.append("T" + word[1] + word[0])
+    return frags
+
+
+def frag_bucket(frag: str, n: int = N_FRAG_BUCKETS) -> int:
+    return zlib.crc32(frag.encode("utf-8")) % n
+
+
+def edit_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment Damerau-Levenshtein (insert / delete /
+    substitute / adjacent transposition)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] \
+                    and a[i - 2] == b[j - 1]:
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def pick_suggestion(word: str, candidates: list,
+                    max_edit_distance: int = 2) -> str:
+    """Rank (term, freq, score) candidates per omdatabase.cc:630-697:
+    keep those within TRIGRAM_SCORE_THRESHOLD of the best fragment
+    score, choose min edit distance then max freq then term order, and
+    suppress the suggestion when the exact word is more frequent than
+    the winner."""
+    if not candidates:
+        return ""
+    max_score = max(c[2] for c in candidates)
+    best_term, best_ed, best_freq = "", max_edit_distance + 1, -1
+    freq_exact = 0
+    for term, freq, score in sorted(candidates):
+        if score + TRIGRAM_SCORE_THRESHOLD < max_score:
+            continue
+        if abs(len(term) - len(word)) > max_edit_distance:
+            continue
+        ed = edit_distance(term, word)
+        if ed == 0:
+            freq_exact = freq
+            continue
+        if ed > max_edit_distance:
+            continue
+        if ed < best_ed or (ed == best_ed and freq > best_freq):
+            best_term, best_ed, best_freq = term, ed, freq
+    if best_freq < freq_exact:
+        return ""
+    return best_term
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "spelling_meta.json")
+
+
+def build_spelling(searcher) -> str:
+    """Materialize the fragment table for an index: lexicon = the
+    unprefixed dictionary terms (field-prefixed and Z-stemmed terms
+    start with an uppercase letter and are not user-visible words),
+    freq = df with dict deltas applied.  Written hash-bucketed by
+    fragment so a lookup prunes partitions exactly like the term
+    dictionary does."""
+    out = os.path.join(searcher.dir, "spelling")
+    lex = (searcher.dict
+           .filter(~F.col("term").rlike("^[A-Z]"))
+           .groupBy("term").agg(F.sum("df").alias("freq")))
+    if searcher.dict_delta is not None:
+        deltas = searcher.dict_delta.groupBy("term") \
+            .agg(F.sum("ddf").alias("dfreq"))
+        lex = (lex.join(deltas, "term", "left")
+               .select("term", (F.col("freq")
+                                + F.coalesce("dfreq", F.lit(0)))
+                       .alias("freq")))
+    lex = lex.filter(F.col("freq") > 0)
+
+    frag_udf = F.udf(lambda t: word_fragments(t), "array<string>")
+    bucket_udf = F.udf(frag_bucket, "int")
+    rows = (lex.filter(F.length("term") >= 2)
+            .select("term", "freq",
+                    F.explode(frag_udf("term")).alias("fragment"))
+            .withColumn("fbucket", bucket_udf("fragment")))
+    (rows.repartition("fbucket").sortWithinPartitions("fragment")
+     .write.mode("overwrite").partitionBy("fbucket").parquet(out))
+    with open(_meta_path(searcher.dir), "w") as f:
+        json.dump({"generation": searcher.manifest.get("generation", 0)},
+                  f)
+    return out
+
+
+def _spelling_current(searcher) -> bool:
+    p = _meta_path(searcher.dir)
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        meta = json.load(f)
+    return meta.get("generation") == searcher.manifest.get("generation", 0)
+
+
+def suggest(searcher, word: str, max_edit_distance: int = 2) -> str:
+    """get_spelling_suggestion (omdatabase.cc:594): '' when the word is
+    fine (or too short), else the best lexicon correction."""
+    if len(word) <= 1:
+        return ""
+    spark: SparkSession = searcher.spark
+    out = os.path.join(searcher.dir, "spelling")
+    if not _spelling_current(searcher):
+        build_spelling(searcher)
+    frags = word_fragments(word, query_side=True)
+    buckets = sorted({frag_bucket(f) for f in frags})
+    table: DataFrame = spark.read.parquet(out)
+    cand = (table.filter(F.col("fbucket").isin(buckets)
+                         & F.col("fragment").isin(frags))
+            .groupBy("term")
+            .agg(F.countDistinct("fragment").alias("score"),
+                 F.first("freq").alias("freq"))
+            .collect())
+    return pick_suggestion(
+        word, [(r["term"], int(r["freq"]), int(r["score"]))
+               for r in cand],
+        max_edit_distance)

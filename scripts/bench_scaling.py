@@ -18,7 +18,64 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def tokenizer_calibration(n_small: int, n_big: int) -> dict:
+    """The pure-spin calibration is register-only and overstates the
+    ceiling for string-heavy work (the tokenizer is cache/memory-bandwidth
+    bound).  Run the ACTUAL tokenizer kernel — document_term_rows on a
+    deterministic synthetic doc — as fixed per-proc work at both levels:
+    this is the attainable ceiling for the terms stage specifically."""
+    import time as _t
+    from multiprocessing import Pool
+
+    def run(nproc):
+        t0 = _t.time()
+        with Pool(nproc) as p:
+            p.map(_tok_work, [150] * nproc)
+        return _t.time() - t0
+
+    ts = min(run(n_small) for _ in range(2))
+    tb = min(run(n_big) for _ in range(2))
+    return {"tok_wall_small": round(ts, 3), "tok_wall_big": round(tb, 3),
+            "tok_ceiling_eff": round(ts / tb, 3)}
+
+
+def _tok_work(reps: int) -> int:
+    sys.path.insert(0, REPO)
+    from mdq_spark.tokenize import document_term_rows
+    words = ["sort", "merge", "join", "spark", "window", "query", "data",
+             "batch", "agg", "scan", "filter", "c++", "AT&T", "don't"]
+    body = " ".join(words[i % len(words)] + str(i % 97)
+                    for i in range(2000))
+    doc = {"doc_id": 1, "fullpath": "a/b.md", "title": "t", "subtitle": "",
+           "authors": ["x"], "date": 0, "tags": ["k"], "body": body}
+    n = 0
+    for _ in range(reps):
+        agg, dl = document_term_rows(doc)
+        n += dl
+    return n
+
+
+def wait_quiet(thresh: float | None = None, max_wait: int = 900) -> bool:
+    """Load gate: this is a shared VM — a run that starts while
+    neighbors are burning CPU measures them, not the code.  Wait for
+    the 1-min loadavg to drop below ``thresh`` (record the outcome)."""
+    if thresh is None:
+        thresh = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.5"))
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        if _load1() < thresh:
+            return True
+        time.sleep(15)
+    return False
+
+
 def run_once(sf_dir: str, cpus: int) -> dict:
+    gated = wait_quiet()
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -29,7 +86,9 @@ def run_once(sf_dir: str, cpus: int) -> dict:
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            r = json.loads(line)
+            r["load_gate_passed"] = gated
+            return r
     raise RuntimeError(
         f"bench.py produced no JSON at cpus={cpus}:\n{out.stdout[-2000:]}"
         f"\n{out.stderr[-2000:]}")
@@ -66,25 +125,26 @@ def amplify(sf_dir: str, amp: int) -> str:
     return out
 
 
-def cpu_calibration() -> dict:
+def cpu_calibration(n_small: int = 8, n_big: int = 32) -> dict:
     """Measure the machine's own parallel-CPU ceiling with a pure spin
-    (no Spark, no memory traffic): per-proc fixed work at 8 vs 32
-    processes.  On honest hardware the walls are equal; the observed
-    ratio bounds any achievable 8->32 scaling efficiency."""
+    (no Spark, no memory traffic): per-proc fixed work at n_small vs
+    n_big processes.  On honest hardware the walls are equal; the
+    observed ratio bounds any achievable scaling efficiency for the
+    same core pair — report it so raw numbers can be normalized."""
     import time as _t
     from multiprocessing import Pool
 
-    def run(nproc, per=20_000_000):
+    def run(nproc, per=40_000_000):
         t0 = _t.time()
         with Pool(nproc) as p:
             p.map(_spin, [per] * nproc)
         return _t.time() - t0
 
-    t8 = run(8)
-    t32 = run(32)
-    return {"spin_wall_8x": round(t8, 3), "spin_wall_32x": round(t32, 3),
-            "effective_cores_at_32": round(32 * t8 / t32, 1),
-            "hw_ceiling_eff_8_to_32": round(t8 / t32, 3)}
+    ts = min(run(n_small) for _ in range(2))
+    tb = min(run(n_big) for _ in range(2))
+    return {"spin_wall_small": round(ts, 3), "spin_wall_big": round(tb, 3),
+            "effective_cores_at_big": round(n_big * ts / tb, 1),
+            "hw_ceiling_eff": round(ts / tb, 3)}
 
 
 def _spin(n):
@@ -95,6 +155,10 @@ def _spin(n):
 
 
 def main() -> None:
+    if "--calib-only" in sys.argv:
+        print(json.dumps({"spin": cpu_calibration(2, 8),
+                          "tok": tokenizer_calibration(2, 8)}))
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     amp = int(os.environ.get("SPARK_GRAFT_AMP", "40"))
@@ -107,7 +171,9 @@ def main() -> None:
     # throttle point and measures the *code's* scalability.
     n_small = int(os.environ.get("SPARK_GRAFT_N_SMALL", "2"))
     n_big = int(os.environ.get("SPARK_GRAFT_N_BIG", "8"))
-    calib = cpu_calibration()
+    wait_quiet()
+    calib = cpu_calibration(n_small, n_big)
+    tok_calib = tokenizer_calibration(n_small, n_big)
     # best-of-2 per level: this box is a shared VM with variable CPU
     # steal; min-of-runs measures the code, not the neighbors
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
@@ -129,18 +195,10 @@ def main() -> None:
     thr_b = r_big["build"]["docs_per_sec"]
     eff_thr = (thr_b / thr_s) / ratio if thr_s else 0.0
 
-    # per-stage breakdown from the two runs' manifests
-    def stages_of(cpus):
-        name = os.path.basename(sf_dir.rstrip("/"))
-        p = os.path.join(REPO, "_idx_cache",
-                         f"bench_{name}_c{cpus}", "manifest.json")
-        try:
-            with open(p) as f:
-                return {s["stage"]: s["sec"]
-                        for s in json.load(f)["stages"]}
-        except OSError:
-            return {}
-    st_s, st_b = stages_of(n_small), stages_of(n_big)
+    # per-stage breakdown from the BEST run at each level (bench.py
+    # reports its own manifest stages, so reps can't mix)
+    st_s = r_small.get("stages", {})
+    st_b = r_big.get("stages", {})
     stage_md = ""
     if st_s and st_b:
         stage_md = "\n## Per-stage breakdown (manifests of this run)\n\n" \
@@ -159,28 +217,44 @@ the same input (`{sf_dir}`), once with {n_small} local cores and once
 with {n_big} (sandbox stand-in for N vs 4N executors per the task
 instruction; see BASELINE.md protocol).
 
-Hardware calibration (pure-CPU spin, no Spark): 8 procs of fixed work
-take {calib['spin_wall_8x']} s; 32 procs of the *same per-proc work* take
-{calib['spin_wall_32x']} s — i.e. the 32 advertised vCPUs deliver
-~{calib['effective_cores_at_32']} cores of throughput under full load,
-capping any 8→32 efficiency at {calib['hw_ceiling_eff_8_to_32']} even for
-embarrassingly-parallel code.  The N→4N pair below therefore uses
-{n_small}→{n_big} cores, which stays under the throttle point.
+Hardware calibration (pure-CPU spin, no Spark, no memory traffic):
+{n_small} procs of fixed per-proc work take {calib['spin_wall_small']} s;
+{n_big} procs of the *same per-proc work* take {calib['spin_wall_big']} s
+— i.e. the {n_big} advertised vCPUs deliver
+~{calib['effective_cores_at_big']} effective cores under full load, so
+even embarrassingly-parallel code cannot exceed
+**{calib['hw_ceiling_eff']}** measured {n_small}→{n_big} efficiency on
+this box.  Raw efficiencies below should be read against that ceiling;
+the "hw-normalized" column divides by it.
 
-| metric | local[{n_small}] | local[{n_big}] | scaling efficiency |
-|---|---|---|---|
-| build wall (sec) | {b_s:.2f} | {b_b:.2f} | {eff_build:.3f} |
-| build docs/sec | {thr_s:.1f} | {thr_b:.1f} | {eff_thr:.3f} |
-| build postings/sec | {r_small['build']['postings_per_sec']:.0f} | {r_big['build']['postings_per_sec']:.0f} | — |
-| build+query wall (sec) | {t_s:.2f} | {t_b:.2f} | {eff_total:.3f} |
-| term-df skew factor | {r_small['build']['term_df_skew_factor']:.1f} | {r_big['build']['term_df_skew_factor']:.1f} | — |
+Workload calibration (the ACTUAL tokenizer kernel as fixed per-proc
+work, no Spark): {n_small} procs take {tok_calib['tok_wall_small']} s,
+{n_big} procs {tok_calib['tok_wall_big']} s — attainable ceiling
+**{tok_calib['tok_ceiling_eff']}** for string/memory-bandwidth-bound
+stages (the spin calibration is register-only and overstates what a
+tokenizer can reach).
+
+Load gate: every run waits for the 1-min loadavg to drop below 1.5
+before starting (shared VM — ambient neighbor load otherwise pollutes
+the small-core run most).  Gate passed: local[{n_small}]=
+{r_small.get('load_gate_passed')}, local[{n_big}]=
+{r_big.get('load_gate_passed')}; per-run before/after loadavg is in the
+raw JSON below.
+
+| metric | local[{n_small}] | local[{n_big}] | raw efficiency | hw-normalized |
+|---|---|---|---|---|
+| build wall (sec) | {b_s:.2f} | {b_b:.2f} | {eff_build:.3f} | {eff_build / calib['hw_ceiling_eff']:.3f} |
+| build docs/sec | {thr_s:.1f} | {thr_b:.1f} | {eff_thr:.3f} | {eff_thr / calib['hw_ceiling_eff']:.3f} |
+| build postings/sec | {r_small['build']['postings_per_sec']:.0f} | {r_big['build']['postings_per_sec']:.0f} | — | — |
+| build+query wall (sec) | {t_s:.2f} | {t_b:.2f} | {eff_total:.3f} | {eff_total / calib['hw_ceiling_eff']:.3f} |
+| term-df skew factor | {r_small['build']['term_df_skew_factor']:.1f} | {r_big['build']['term_df_skew_factor']:.1f} | — | — |
 
 Efficiency = (T_N / T_4N) / 4 (build wall) and (thr_4N / thr_N) / 4
-(throughput).  Note: at this sf the corpus is small enough that fixed
-JVM/stage overheads (~8-10 s) dominate; the efficiency numbers above are
-a *lower bound* on what the same plan achieves when per-core work, not
-scheduling, is the bottleneck (no stage in the plan is serialized on the
-driver; every build stage is a parallel scan/shuffle).
+(throughput).  The JVM and one Python worker per core are warmed before
+the timer (bench.py) — cold-start is per-executor, not per-byte, so a
+100 TB run amortizes it to zero; what's measured is steady-state
+throughput.  No stage in the plan is serialized on the driver; every
+build stage is a parallel scan/shuffle.
 {stage_md}
 
 Per-query p50 (sec):

@@ -90,7 +90,10 @@ def test_postings_scan_is_partition_pruned(spark):
     s = Searcher(spark, idx)
     df = s.query_df("sort ", k=10, prune="never")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(bucket" in plan
+    # bucket partition pruning must reach the postings scan (exact
+    # rendering differs between the join path and the merge kernel)
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].split("]")[0]
     # positions column must not be read for a non-positional query
     assert "positions" not in plan.split("Location")[0]
 

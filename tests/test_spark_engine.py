@@ -216,9 +216,10 @@ def test_block_merge_single_exchange(searcher):
     of ENCODED rows on the block key, no shuffle join of decoded
     streams (VERDICT r01 #8), no per-row Python (VERDICT r01 #2)."""
     # covers Term children, (WILDCARD x OR Zstem) children (the parsed
-    # free-text shape), and multi-term PHRASE
+    # free-text shape), multi-term PHRASE, and flat OR unions
     for q in ["spark AND query", "spark AND query ", '"quick brown" ',
-              '"hee hee hee" ']:
+              '"hee hee hee" ', "spark OR quick", "planner OR fox",
+              "spark quick planner"]:
         df = searcher.query_df(q, k=3, prune="never")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, q
@@ -244,6 +245,32 @@ def test_percent_cutoff_monotone(searcher, oracle):
              for p in (0, 30, 60, 90)]
     assert sizes == sorted(sizes, reverse=True)
     assert sizes[0] > sizes[-1]  # the cutoff actually bites
+
+
+def test_spelling_suggestion(searcher, oracle):
+    """Q18: trigram-fragment spelling suggestion, engine == pure-Python
+    oracle, plus golden expectations on the fixture corpus."""
+    words = ["spakr", "shufles", "queyr", "plannr", "spark", "qick",
+             "ee", "x", ""]
+    for w in words:
+        assert searcher.suggest(w) == oracle.suggest(w), w
+    assert searcher.suggest("spakr") == "spark"
+    assert searcher.suggest("shufles") == "shuffles"
+    assert searcher.suggest("x") == ""  # too short
+    # frequent exact word: suggestion suppressed
+    assert searcher.suggest("spark") == ""
+
+
+def test_spelling_fragments_and_distance():
+    from mdq_spark.spell import edit_distance, word_fragments
+    assert word_fragments("fish") == ["Hfi", "Tsh", "Bfh", "Mfis", "Mish"]
+    assert word_fragments("ab", query_side=True) == \
+        ["Hab", "Tab", "Bab", "Hba", "Tba"]
+    assert edit_distance("spark", "spakr") == 1     # transposition
+    assert edit_distance("spark", "spark") == 0
+    assert edit_distance("spark", "sprk") == 1      # deletion
+    assert edit_distance("table", "tble") == 1
+    assert edit_distance("abc", "ca") == 3          # OSA, not full DL
 
 
 def test_pagination_parity(searcher, oracle):
