@@ -49,10 +49,7 @@ from pyspark.sql.types import (
 )
 
 from . import bm25
-from .codec import (
-    EMPTY_POSITIONS, encode_doc_gaps, encode_position_list,
-    encode_positions, varint_encode,
-)
+from .codec import EMPTY_POSITIONS
 
 DEFAULT_BLOCK_SPAN = 1 << 16
 DEFAULT_N_BUCKETS = 64
@@ -203,76 +200,117 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
     return fn
 
 
-def _encode_one(term: str, bucket: int, block: int,
-                grp: pd.DataFrame, lf: float) -> dict:
-    """Encode one (term, block) run (already doc_id-sorted)."""
-    import numpy as np
-    doc_ids = grp["doc_id"].to_numpy()
-    wdfs = grp["wdf"].to_numpy()
-    doclens = grp["doclen"].to_numpy()
-    normlen = np.maximum(doclens * lf, bm25.MIN_NORMLEN)
-    parts = wdfs / (bm25.K1 * (normlen * bm25.B + (1 - bm25.B)) + wdfs)
-    pos_buf = None
-    pos_col = grp["positions"]
-    if any(v is not None and v != EMPTY_POSITIONS for v in pos_col):
-        pos_buf = b"".join(
-            bytes(v) if v is not None else EMPTY_POSITIONS
-            for v in pos_col)
-    return {
-        "term": term,
-        "bucket": int(bucket),
-        "block": int(block),
-        "first_doc": int(doc_ids[0]),
-        "last_doc": int(doc_ids[-1]),
-        "n": len(doc_ids),
-        "doc_gaps": encode_doc_gaps(doc_ids),
-        "wdfs": varint_encode(wdfs),
-        "doclens": varint_encode(doclens),
-        "positions": pos_buf,
-        "block_max_wdf": int(wdfs.max()),
-        "block_max_part": float(parts.max()),
-        "block_min_doclen": int(doclens.min()),
-    }
-
-
 def _encode_runs(lf: float):
-    """mapInPandas kernel over partitions sorted by (term, block,
+    """mapInArrow kernel over partitions sorted by (term, block,
     doc_id): encodes every contiguous (term, block) run.  Arrow batches
     can split a run, so an unfinished tail is carried into the next
-    batch — one Python pass per partition, no per-group task overhead
-    (the scalable replacement for a per-group applyInPandas).
+    batch — one pass per partition, no per-group task overhead (the
+    scalable replacement for a per-group applyInPandas).
+
+    Fully vectorized — per-ROW Python is gone from the build hot path:
+
+    * group boundaries: dictionary-encoded term codes + block ids, one
+      numpy comparison;
+    * doc gaps / wdfs / doclens: ONE whole-column LEB128 encode each
+      (codec.varint_encode_offsets), sliced per group by byte offsets;
+    * block maxima/minima: np.maximum/minimum.reduceat at group starts;
+    * positions: nulls filled with the 1-byte empty encoding, then each
+      group's blob is a zero-copy slice of the Arrow data buffer (a
+      group whose byte span == row count is all-empty -> stored null).
 
     ``lf`` is 1/avg_doclen, needed for the block-max score bound
     (bm25weight.cc:176-201 adapted per-block)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        leftover: pd.DataFrame | None = None
-        for pdf in batches:
+    from .codec import varint_encode_offsets
+
+    def encode_table(tbl: pa.Table, gstarts: np.ndarray,
+                     gends: np.ndarray) -> pa.RecordBatch:
+        ids = tbl.column("doc_id").to_numpy()
+        wdfs = tbl.column("wdf").to_numpy().astype(np.int64)
+        dls = tbl.column("doclen").to_numpy().astype(np.int64)
+        trim = int(gends[-1])
+
+        gaps = ids.copy()
+        gaps[1:] -= ids[:-1] + 1
+        gaps[gstarts] = ids[gstarts]
+        buf_g, off_g = varint_encode_offsets(gaps[:trim])
+        buf_w, off_w = varint_encode_offsets(wdfs[:trim])
+        buf_d, off_d = varint_encode_offsets(dls[:trim])
+
+        normlen = np.maximum(dls[:trim] * lf, bm25.MIN_NORMLEN)
+        w = wdfs[:trim]
+        parts = w / (bm25.K1 * (normlen * bm25.B + (1 - bm25.B)) + w)
+        max_part = np.maximum.reduceat(parts, gstarts)
+        max_wdf = np.maximum.reduceat(w, gstarts)
+        min_dl = np.minimum.reduceat(dls[:trim], gstarts)
+
+        pos = tbl.column("positions").combine_chunks()
+        if pos.null_count:
+            pos = pc.fill_null(pos, EMPTY_POSITIONS)
+        if isinstance(pos, pa.ChunkedArray):
+            pos = pos.combine_chunks()
+        # value offsets: the array's logical offset shifts the INDEX
+        # into the offsets buffer (values in it are absolute)
+        raw_off = np.frombuffer(pos.buffers()[1], dtype=np.int32)
+        pos_off = raw_off[pos.offset:pos.offset + len(pos) + 1]
+        pos_data = np.frombuffer(pos.buffers()[2], dtype=np.uint8)
+        pos_out = []
+        for s, e in zip(gstarts, gends):
+            lo, hi = int(pos_off[s]), int(pos_off[e])
+            # all-empty groups (Z-stem terms) store null: one byte per
+            # doc means every entry is the empty encoding
+            pos_out.append(None if hi - lo == e - s
+                           else pos_data[lo:hi].tobytes())
+
+        sidx = pa.array(gstarts)
+        counts = (gends - gstarts).astype(np.int32)
+        return pa.record_batch([
+            tbl.column("term").combine_chunks().take(sidx),
+            tbl.column("bucket").combine_chunks().take(sidx),
+            tbl.column("block").combine_chunks().take(sidx),
+            pa.array(ids[gstarts]),
+            pa.array(ids[gends - 1]),
+            pa.array(counts),
+            pa.array([bytes(buf_g[off_g[s]:off_g[e]])
+                      for s, e in zip(gstarts, gends)], pa.binary()),
+            pa.array([bytes(buf_w[off_w[s]:off_w[e]])
+                      for s, e in zip(gstarts, gends)], pa.binary()),
+            pa.array([bytes(buf_d[off_d[s]:off_d[e]])
+                      for s, e in zip(gstarts, gends)], pa.binary()),
+            pa.array(pos_out, pa.binary()),
+            pa.array(max_wdf.astype(np.int32)),
+            pa.array(max_part.astype(np.float64)),
+            pa.array(min_dl.astype(np.int32)),
+        ], names=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    def fn(batches) -> "Iterator[pa.RecordBatch]":
+        leftover: Optional[pa.Table] = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
             if leftover is not None:
-                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                tbl = pa.concat_tables([leftover, tbl]).combine_chunks()
                 leftover = None
-            if pdf.empty:
+            n = tbl.num_rows
+            if n == 0:
                 continue
-            last_term = pdf["term"].iloc[-1]
-            last_block = pdf["block"].iloc[-1]
-            tail_mask = (pdf["term"] == last_term) & \
-                (pdf["block"] == last_block)
-            leftover = pdf[tail_mask]
-            head = pdf[~tail_mask]
-            if head.empty:
-                continue
-            rows = [
-                _encode_one(term, grp["bucket"].iloc[0], block, grp, lf)
-                for (term, block), grp in head.groupby(
-                    ["term", "block"], sort=False)
-            ]
-            if rows:
-                yield pd.DataFrame(rows)
-        if leftover is not None and not leftover.empty:
-            term = leftover["term"].iloc[0]
-            block = leftover["block"].iloc[0]
-            yield pd.DataFrame([_encode_one(
-                term, leftover["bucket"].iloc[0], block, leftover, lf)])
+            codes = pc.dictionary_encode(
+                tbl.column("term").combine_chunks()).indices.to_numpy()
+            blocks = tbl.column("block").to_numpy()
+            bnd = np.flatnonzero((codes[1:] != codes[:-1])
+                                 | (blocks[1:] != blocks[:-1]))
+            starts = np.concatenate(([0], bnd + 1))
+            # the last run may continue into the next Arrow batch
+            leftover = tbl.slice(int(starts[-1]))
+            if len(starts) > 1:
+                yield encode_table(tbl, starts[:-1], starts[1:])
+        if leftover is not None and leftover.num_rows:
+            leftover = leftover.combine_chunks()
+            yield encode_table(
+                leftover, np.array([0]),
+                np.array([leftover.num_rows]))
 
     return fn
 
@@ -442,7 +480,7 @@ class IndexBuilder:
             lf = bm25.len_factor(float(gstats["avg_doclen"] or 0.0))
             (terms.repartition("term", "block")
              .sortWithinPartitions("term", "block", "doc_id")
-             .mapInPandas(_encode_runs(lf), schema=POSTINGS_SCHEMA)
+             .mapInArrow(_encode_runs(lf), schema=POSTINGS_SCHEMA)
              .withColumn("gen", F.lit(0))
              .write.mode("overwrite")
              .partitionBy("bucket").parquet(p_post))

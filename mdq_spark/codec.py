@@ -44,6 +44,35 @@ def varint_encode(values) -> bytes:
     return out[mask].tobytes()
 
 
+def varint_encode_offsets(values) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a whole column and return (buffer, offsets) where
+    ``offsets[i]:offsets[i+1]`` is value i's byte span — lets a caller
+    slice out any contiguous run without re-encoding (the postings
+    kernel encodes one column per Arrow batch and slices per group)."""
+    arr = np.asarray(values, dtype=np.uint64)
+    n = len(arr)
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    out = np.zeros((n, _MAX_BYTES), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int64)
+    v = arr.copy()
+    active = np.ones(n, dtype=bool)
+    for i in range(_MAX_BYTES):
+        if not active.any():
+            break
+        byte = (v & np.uint64(0x7F)).astype(np.uint8)
+        v = v >> np.uint64(7)
+        more = v > 0
+        out[active, i] = (byte | (more.astype(np.uint8) << 7))[active]
+        lens[active] = i + 1
+        active = active & more
+    col = np.arange(_MAX_BYTES)
+    mask = col[None, :] < lens[:, None]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return out[mask].tobytes(), offsets
+
+
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     """Decode LEB128 buffer -> uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -184,7 +184,7 @@ def upsert(spark: SparkSession, index_dir: str,
     lf = bm25.len_factor(float(gs["avg_doclen"] or 0.0))
     (new_terms.repartition("term", "block")
      .sortWithinPartitions("term", "block", "doc_id")
-     .mapInPandas(_encode_runs(lf), schema=POSTINGS_SCHEMA)
+     .mapInArrow(_encode_runs(lf), schema=POSTINGS_SCHEMA)
      .withColumn("gen", F.lit(gen))
      .write.mode("append").partitionBy("bucket")
      .parquet(f"{index_dir}/postings"))

@@ -78,6 +78,21 @@ def test_position_list_roundtrip(vals):
     assert buf2 == encode_positions([vals, [7, 9]])
 
 
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=60),
+       st.integers(min_value=0, max_value=59),
+       st.integers(min_value=0, max_value=59))
+@settings(max_examples=150, deadline=None)
+def test_varint_offsets_slicing(vals, a, b):
+    """Whole-column encode + offset slicing must equal encoding the
+    slice directly (the arrow postings kernel relies on this)."""
+    from mdq_spark.codec import varint_encode_offsets
+    buf, off = varint_encode_offsets(vals)
+    assert buf == varint_encode(vals)
+    lo, hi = sorted((min(a, len(vals)), min(b, len(vals))))
+    assert buf[off[lo]:off[hi]] == varint_encode(vals[lo:hi])
+    assert list(varint_decode(buf, len(vals))) == vals
+
+
 @given(st.lists(st.integers(min_value=1, max_value=1000), max_size=20))
 @settings(max_examples=100, deadline=None)
 def test_position_list_unsorted_fallback(vals):
