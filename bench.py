@@ -92,6 +92,20 @@ def main() -> None:
         per_query[qname] = round(times[1], 4)
         total += times[1]
 
+    # query-log replay: a whole log evaluated in ONE Spark action via
+    # batch_search — the training-pipeline shape where per-query job
+    # latency amortizes into throughput
+    base_terms = ["sort", "merge", "join", "hash", "batch", "window",
+                  "query", "scan", "table", "stream", "filter", "value"]
+    log = {}
+    for i, t in enumerate(base_terms):
+        log[f"q{i}a"] = f"{t} "
+        log[f"q{i}b"] = f"{t} {base_terms[(i + 1) % len(base_terms)]} "
+    t0 = time.time()
+    n_rows = searcher.batch_search(log, k=10).count()
+    replay_sec = time.time() - t0
+    assert n_rows > 0
+
     m = manifest["metrics"]
     out = {
         "metric": "index_build_plus_query_wall",
@@ -111,6 +125,11 @@ def main() -> None:
         "stages": {s["stage"]: round(s["sec"], 3)
                    for s in manifest.get("stages", [])},
         "query_total_sec": round(total, 4),
+        "batch_replay": {
+            "n_queries": len(log),
+            "wall_sec": round(replay_sec, 4),
+            "queries_per_sec": round(len(log) / replay_sec, 2),
+        },
         # ambient-load transparency: this sandbox is a shared VM; loads
         # beyond our own core count mean neighbors polluted the run
         "loadavg_before": load_before,
