@@ -215,6 +215,53 @@ def upsert(spark: SparkSession, index_dir: str,
     return m
 
 
+def fold_dict_deltas(spark: SparkSession, index_dir: str) -> None:
+    """Maintenance (lighter than compact): fold ``dict_delta/`` into
+    ``dict/`` so query-side dictionary lookups stop paying the delta
+    merge, without touching postings or tombstones.  The folded
+    dictionary is one exact row per (term, bucket) — df/cf summed over
+    generations with deltas applied, wdf_max the max over rows (the
+    same value the pre-fold per-lookup merge produced) — written to a
+    sibling dir and swapped in with renames, so a crash leaves either
+    the old or the new dictionary, never a partial one."""
+    index_dir = index_dir.rstrip("/")
+    m = _manifest(index_dir)
+    committed = [int(g) for g in m.get("committed_gens", [0])]
+    gen = max(committed)
+    d = spark.read.parquet(f"{index_dir}/dict") \
+        .filter(F.col("gen").isin(committed))
+    agg = d.groupBy("term", "bucket").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+        F.max("wdf_max").alias("wdf_max"))
+    delta_path = f"{index_dir}/dict_delta"
+    if os.path.exists(delta_path):
+        deltas = (spark.read.parquet(delta_path)
+                  .filter(F.col("gen").isin(committed))
+                  .groupBy("term", "bucket")
+                  .agg(F.sum("ddf").alias("ddf"),
+                       F.sum("dcf").alias("dcf")))
+        agg = (agg.join(deltas, ["term", "bucket"], "left")
+               .select("term", "bucket",
+                       (F.col("df") + F.coalesce("ddf", F.lit(0)))
+                       .alias("df"),
+                       (F.col("cf") + F.coalesce("dcf", F.lit(0)))
+                       .alias("cf"),
+                       "wdf_max"))
+    tmp = f"{index_dir}/dict.fold_tmp"
+    old = f"{index_dir}/dict.fold_old"
+    (agg.filter(F.col("df") > 0)
+     .withColumn("gen", F.lit(gen))
+     .repartition("bucket").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(f"{index_dir}/dict", old)
+    os.rename(tmp, f"{index_dir}/dict")
+    shutil.rmtree(old)
+    if os.path.exists(delta_path):
+        shutil.rmtree(delta_path)
+
+
 def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     """Fold tombstones away: rebuild a fresh index from the live doc
     set (the merge step; run when the tombstone ratio grows).  Reads

@@ -176,6 +176,39 @@ def test_crashed_upsert_invisible_then_retry(spark, tmp_path_factory):
         oracle.avg_doclen)
 
 
+def test_fold_dict_deltas(spark, tmp_path_factory):
+    """fold_dict_deltas must leave results identical (it only moves the
+    delta merge from query time into the dictionary) and clear the
+    delta dir."""
+    import os
+    from mdq_spark.upsert import fold_dict_deltas
+    out = str(tmp_path_factory.mktemp("fold"))
+    df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
+    build_index(spark, df, out, block_span=4, n_buckets=8)
+    upsert(spark, out, spark.createDataFrame(BATCH, schema=DOCS_SCHEMA))
+    before = Searcher(spark, out)
+    pre = {q: before.search(q) for q in QUERIES}
+    fold_dict_deltas(spark, out)
+    assert not os.path.exists(os.path.join(out, "dict_delta"))
+    after = Searcher(spark, out)
+    assert after.dict_delta is None
+    for q, exp in pre.items():
+        assert_results_match(exp, after.search(q))
+    # still equals a fresh-rebuild oracle of the final corpus
+    oracle = OracleIndex.build(FINAL)
+    for q in QUERIES:
+        assert_results_match(oracle.search(q), after.search(q))
+    # and a subsequent upsert over the folded dictionary stays exact
+    m2 = upsert(spark, out, spark.createDataFrame(
+        [doc(0, "e.md", "omega omega psi")], schema=DOCS_SCHEMA))
+    final2 = [d for d in FINAL if d["fullpath"] != "e.md"] + \
+        [doc(8, "e.md", "omega omega psi")]
+    oracle2 = OracleIndex.build(final2)
+    s2 = Searcher(spark, out)
+    for q in ["omega ", "alpha ", "psi OR zeta", "zeta "]:
+        assert_results_match(oracle2.search(q), s2.search(q))
+
+
 def test_auto_compact_folds_tombstones(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("autoc"))
     df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
