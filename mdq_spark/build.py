@@ -63,7 +63,21 @@ DEFAULT_N_BUCKETS = 64
 #       (b) posting blocks store ``block_min_doclen`` so block-max
 #       bounds are evaluated at query time with the *current* 1/avgdl
 #       (stored bounds go stale when an upsert shifts avg_doclen).
-FORMAT_VERSION = 3
+#   v4: (a) ``globalstats/`` rows are gen-tagged and append-only like
+#       every other artifact, so a crashed upsert can no longer leave
+#       on-disk stats describing an uncommitted generation (ADVICE r02);
+#       (b) ``dict/`` is partitioned by the term's first byte (``tpfx``)
+#       instead of the crc32 bucket: exact lookups prune directories
+#       just as well (first chars of the looked-up terms), and prefix/
+#       wildcard scans — which could never bucket-prune, because the
+#       bucket hashes the *whole* term — now read one directory instead
+#       of all of them (VERDICT r02 #7).  First-byte partitioning is a
+#       STATIC range partitioning: boundaries never shift across
+#       upserts, so appends stay aligned (an equi-depth term range
+#       would re-split per build).  The crc32 ``bucket`` survives as a
+#       data column (postings stay bucket-partitioned) and spreads the
+#       dict write across tasks within a skewed tpfx (e.g. 'Z' stems).
+FORMAT_VERSION = 4
 
 DOCS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -387,11 +401,19 @@ class IndexBuilder:
 
         # format guard (ADVICE r01): resuming stages written by an older
         # format would mix schemas — force a rebuild instead.
+        # Upsert guard (ADVICE r02, medium): resuming over an index that
+        # has committed upserts would skip every stage yet rewrite the
+        # manifest with committed_gens=[0], silently hiding every
+        # upserted generation and resurrecting tombstoned docs — a
+        # resume can never preserve upsert state, so force a rebuild.
         mpath = self.path("manifest.json")
         if not force and os.path.exists(mpath):
             with open(mpath) as f:
                 old = json.load(f)
             if int(old.get("format_version", 1)) != FORMAT_VERSION:
+                force = True
+            elif int(old.get("generation", 0)) != 0 or \
+                    [int(g) for g in old.get("committed_gens", [0])] != [0]:
                 force = True
 
         # stage 1: forward store.  Range-partition by doc_id up to the
@@ -433,7 +455,7 @@ class IndexBuilder:
         if force or not _stage_done(p_docstats):
             force = True
             t0 = time.time()
-            (terms.groupBy("doc_id")
+            (terms.filter(F.col("gen") == 0).groupBy("doc_id")
              .agg(F.max("doclen").alias("doclen"))
              .withColumn("gen", F.lit(0))
              .write.mode("overwrite").parquet(p_docstats))
@@ -441,10 +463,11 @@ class IndexBuilder:
         docstats = self.spark.read.parquet(p_docstats)
 
         p_global = self.path("globalstats")
-        if force or not _stage_done(p_global):
+        if force or not _stage_done(p_global) or \
+                not _stage_current(self.spark, p_global):
             force = True
             t0 = time.time()
-            (docstats.agg(
+            (docstats.filter(F.col("gen") == 0).agg(
                 F.count("doc_id").alias("n_docs"),
                 F.sum("doclen").alias("total_doclen"),
                 F.min("doclen").alias("doclen_lb"),
@@ -453,24 +476,27 @@ class IndexBuilder:
             ).withColumn(
                 "avg_doclen",
                 F.col("total_doclen") / F.col("n_docs"))
+             .withColumn("gen", F.lit(0))
              .write.mode("overwrite").parquet(p_global))
             stages.append({"stage": "globalstats", "sec": time.time() - t0})
-        gstats = self.spark.read.parquet(p_global).collect()[0].asDict()
+        gstats = self.spark.read.parquet(p_global) \
+            .filter(F.col("gen") == 0).drop("gen").collect()[0].asDict()
 
         # stage 4: dictionary (term stats; drives termweights + wildcards)
         p_dict = self.path("dict")
         if force or not _stage_done(p_dict):
             force = True
             t0 = time.time()
-            (terms.groupBy("term", "bucket")
+            (terms.filter(F.col("gen") == 0).groupBy("term", "bucket")
              .agg(F.count("doc_id").alias("df"),
                   F.sum("wdf").alias("cf"),
                   F.max("wdf").alias("wdf_max"))
              .withColumn("gen", F.lit(0))
-             .repartition("bucket")
+             .withColumn("tpfx", F.substring("term", 1, 1))
+             .repartition("tpfx", "bucket")
              .sortWithinPartitions("term")
              .write.mode("overwrite")
-             .partitionBy("bucket").parquet(p_dict))
+             .partitionBy("tpfx").parquet(p_dict))
             stages.append({"stage": "dict", "sec": time.time() - t0})
 
         # stage 5: posting blocks (delta+varint, block-max bounds)
@@ -478,7 +504,8 @@ class IndexBuilder:
         if force or not _stage_done(p_post):
             t0 = time.time()
             lf = bm25.len_factor(float(gstats["avg_doclen"] or 0.0))
-            (terms.repartition("term", "block")
+            (terms.filter(F.col("gen") == 0)
+             .repartition("term", "block")
              .sortWithinPartitions("term", "block", "doc_id")
              .mapInArrow(_encode_runs(lf), schema=POSTINGS_SCHEMA)
              .withColumn("gen", F.lit(0))
@@ -488,7 +515,7 @@ class IndexBuilder:
 
         # metrics + manifest (lineage per north rule)
         wall = time.time() - t_start
-        dict_df = self.spark.read.parquet(p_dict)
+        dict_df = self.spark.read.parquet(p_dict).filter(F.col("gen") == 0)
         agg = dict_df.agg(
             F.sum("df").alias("n_postings"),
             F.max("df").alias("max_df"),

@@ -264,12 +264,19 @@ def embedding_neardup_pairs_blocked(emb_df: DataFrame,
         d = _dot(F.col("v"), arr) / (F.col("nrm") + F.lit(1e-12))
         cos_own = F.when(F.col("centroid") == ci, d) if cos_own is None \
             else cos_own.when(F.col("centroid") == ci, d)
+    # persist scoped to the radii collect only (ADVICE r02: a persist
+    # left active leaks executor storage for the session lifetime); the
+    # candidate join below recomputes base's lineage — a cheap
+    # projection + centroid argmin — instead of holding the cache
     base = base.withColumn("cos_own", cos_own).persist()
-    radii = {int(r["centroid"]): float(r["r"]) for r in
-             base.groupBy("centroid")
-             .agg(F.sqrt(F.greatest(F.lit(0.0),
-                                    F.lit(2.0) - 2 * F.min("cos_own")))
-                  .alias("r")).collect()}
+    try:
+        radii = {int(r["centroid"]): float(r["r"]) for r in
+                 base.groupBy("centroid")
+                 .agg(F.sqrt(F.greatest(F.lit(0.0),
+                                        F.lit(2.0) - 2 * F.min("cos_own")))
+                      .alias("r")).collect()}
+    finally:
+        base = base.unpersist()
     d_max = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
     pairs = []
     for i in radii:

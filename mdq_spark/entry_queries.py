@@ -351,7 +351,8 @@ SPELL_WORDS = ["spakr", "qurey", "merg", "windoe", "tble", "batch"]
 
 def _ft_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ensure_index(spark, sf_dir, "simple")
-    rows = [(w, s.suggest(w)) for w in SPELL_WORDS]
+    sug = s.batch_suggest(SPELL_WORDS)  # one job for the whole list
+    rows = [(w, sug[w]) for w in SPELL_WORDS]
     return spark.createDataFrame(rows, "word string, suggestion string")
 
 
@@ -468,7 +469,13 @@ def q_ft_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ft_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ensure_index(spark, sf_dir, "simple")
+    # commit-consistent read (format v4): globalstats rows are gen-
+    # tagged appends; the live row is the highest committed gen, so a
+    # crashed upsert's row stays invisible here too (ADVICE r02)
     gs = s.spark.read.parquet(f"{s.dir}/globalstats")
+    if s.committed is not None and "gen" in gs.columns:
+        gs = gs.filter(F.col("gen").isin(s.committed)) \
+            .orderBy(F.desc("gen")).limit(1)
     return gs.select(F.col("n_docs").cast("long"),
                      F.col("total_doclen").cast("long"),
                      F.col("doclen_lb").cast("long"),

@@ -298,6 +298,10 @@ class Searcher:
         self.spark = spark
         self.wildcard_limit = wildcard_limit
         self.dir = index_dir.rstrip("/")
+        # crash recovery: roll a half-finished compact_in_place swap
+        # forward (or back) before opening (ADVICE r02)
+        from .upsert import recover_swap
+        recover_swap(self.dir)
         with open(os.path.join(self.dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         gs = self.manifest["globalstats"]
@@ -316,7 +320,10 @@ class Searcher:
             if self.committed is not None and "gen" in df.columns:
                 return df.filter(F.col("gen").isin(self.committed))
             return df
-        self.dict = vis(spark.read.parquet(f"{self.dir}/dict"))
+        # the manifest's dict_dir pointer is how fold_dict_deltas swaps
+        # in a folded dictionary atomically (upsert.fold_dict_deltas)
+        dict_dir = self.manifest.get("dict_dir", "dict")
+        self.dict = vis(spark.read.parquet(f"{self.dir}/{dict_dir}"))
         self.postings = vis(spark.read.parquet(f"{self.dir}/postings"))
         self.docs = vis(spark.read.parquet(f"{self.dir}/docs")).drop("gen")
         self.docstats = vis(spark.read.parquet(f"{self.dir}/docstats"))
@@ -335,30 +342,56 @@ class Searcher:
         delta_path = os.path.join(self.dir, "dict_delta")
         self.dict_delta = (vis(spark.read.parquet(delta_path))
                            if os.path.exists(delta_path) else None)
+        if self.dict_delta is not None:
+            # deltas already baked into a folded dictionary must not be
+            # applied twice (a crash between fold's manifest commit and
+            # its delta-dir cleanup leaves them on disk — ADVICE r02)
+            folded = [int(g) for g in
+                      self.manifest.get("delta_folded_gens", [])]
+            if folded:
+                self.dict_delta = self.dict_delta.filter(
+                    ~F.col("gen").isin(folded))
 
     # -- dictionary access -------------------------------------------------
+
+    def _dict_scan(self, terms: list[str],
+                   patterns: list[str]) -> Optional[DataFrame]:
+        """The pruned dictionary scan for exact terms + prefix patterns.
+
+        Partition pruning (format v4): the dictionary is partitioned by
+        the term's first byte, so BOTH exact lookups and prefix scans
+        touch only the directories of the looked-up first chars — a
+        wildcard no longer reads the whole dictionary (VERDICT r02 #7).
+        The tpfx restriction is a top-level conjunct so Catalyst can
+        always extract it as a partition filter."""
+        conds = []
+        if terms:
+            conds.append(F.col("term").isin(terms))
+        for p in patterns:
+            # prefix range scan within the first-char partition; parquet
+            # min/max on the sorted term column skips row groups too
+            conds.append(F.col("term").startswith(p))
+        if not conds:
+            return None
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        if "tpfx" in self.dict.columns:
+            chars = sorted({t[0] for t in terms if t}
+                           | {p[0] for p in patterns if p})
+            if chars and all(t for t in terms) and all(patterns):
+                cond = F.col("tpfx").isin(chars) & cond
+        return self.dict.filter(cond)
 
     def _dict_lookup(self, terms: list[str], patterns: list[str]) -> dict:
         """One pruned dict scan for all exact terms + prefix patterns.
         Returns {'exact': {term: row}, 'expansions': {pattern: [terms]}}."""
-        conds = []
-        if terms:
-            buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-            conds.append(F.col("bucket").isin(buckets)
-                         & F.col("term").isin(terms))
-        for p in patterns:
-            # prefix range scan; bucket unknown (hash of full term) so no
-            # bucket pruning for wildcards — parquet min/max on the sorted
-            # term column still skips row groups
-            conds.append(F.col("term").startswith(p))
-        if not conds:
+        scan = self._dict_scan(terms, patterns)
+        if scan is None:
             return {"exact": {}, "expansions": {}}
-        cond = conds[0]
-        for c in conds[1:]:
-            cond = cond | c
         # a term may have several dict rows (one per upsert generation):
         # aggregate, then apply tombstone deltas so df/cf stay exact
-        raw = self.dict.filter(cond).collect()
+        raw = scan.collect()
         agg: dict = {}
         for r in raw:
             d = agg.setdefault(r["term"], {"term": r["term"], "df": 0,
@@ -1029,6 +1062,13 @@ class Searcher:
         ranking; '' when the word needs no correction."""
         from .spell import suggest
         return suggest(self, word, max_edit_distance)
+
+    def batch_suggest(self, words: list[str],
+                      max_edit_distance: int = 2) -> dict[str, str]:
+        """Spelling suggestions for a whole word list in one Spark job
+        (the query-log-scale path, mirroring batch_search)."""
+        from .spell import batch_suggest
+        return batch_suggest(self, words, max_edit_distance)
 
     # Serialization projections (P3, src/document.rs:248-284): which
     # fields each output mode carries.

@@ -148,8 +148,9 @@ def upsert(spark: SparkSession, index_dir: str,
      .agg(F.count("doc_id").alias("df"), F.sum("wdf").alias("cf"),
           F.max("wdf").alias("wdf_max"))
      .withColumn("gen", F.lit(gen))
-     .write.mode("append").partitionBy("bucket")
-     .parquet(f"{index_dir}/dict"))
+     .withColumn("tpfx", F.substring("term", 1, 1))
+     .write.mode("append").partitionBy("tpfx")
+     .parquet(f"{index_dir}/{m.get('dict_dir', 'dict')}"))
 
     # 4. exact negative dict deltas for tombstoned docs (from committed
     # staging rows only — orphan doc_id collisions are filtered out)
@@ -177,8 +178,21 @@ def upsert(spark: SparkSession, index_dir: str,
         F.max("doc_id").alias("max_doc_id")).collect()[0].asDict()
     gs["avg_doclen"] = (gs["total_doclen"] / gs["n_docs"]) \
         if gs["n_docs"] else 0.0
-    spark.createDataFrame([gs]).write.mode("overwrite") \
-        .parquet(f"{index_dir}/globalstats")
+    # gen-tagged APPEND (format v4, ADVICE r02): the new stats row stays
+    # invisible until the manifest commit lists this gen — a crash here
+    # can no longer leave on-disk stats describing an uncommitted
+    # generation.  Readers take the row of the highest committed gen.
+    # Casts pin the exact column types the build stage wrote (appended
+    # parquet files must agree field-for-field).
+    (spark.createDataFrame([gs]).select(
+        F.col("n_docs").cast("long"),
+        F.col("total_doclen").cast("long"),
+        F.col("doclen_lb").cast("int"),
+        F.col("doclen_ub").cast("int"),
+        F.col("max_doc_id").cast("long"),
+        F.col("avg_doclen").cast("double"),
+        F.lit(gen).cast("int").alias("gen"))
+     .write.mode("append").parquet(f"{index_dir}/globalstats"))
 
     # postings for the new blocks (after globalstats so lf is current)
     lf = bm25.len_factor(float(gs["avg_doclen"] or 0.0))
@@ -217,26 +231,37 @@ def upsert(spark: SparkSession, index_dir: str,
 
 def fold_dict_deltas(spark: SparkSession, index_dir: str) -> None:
     """Maintenance (lighter than compact): fold ``dict_delta/`` into
-    ``dict/`` so query-side dictionary lookups stop paying the delta
-    merge, without touching postings or tombstones.  The folded
-    dictionary is one exact row per (term, bucket) — df/cf summed over
-    generations with deltas applied, wdf_max the max over rows (the
-    same value the pre-fold per-lookup merge produced) — written to a
-    sibling dir and swapped in with renames, so a crash leaves either
-    the old or the new dictionary, never a partial one."""
+    the dictionary so query-side lookups stop paying the delta merge,
+    without touching postings or tombstones.  The folded dictionary is
+    one exact row per (term, bucket) — df/cf summed over generations
+    with deltas applied, wdf_max the max over rows (the same value the
+    pre-fold per-lookup merge produced).
+
+    Crash safety (ADVICE r02): the folded copy is written to a fresh
+    sibling dir and the switch is a single atomic manifest replace —
+    the manifest's ``dict_dir`` points at the live dictionary and
+    ``delta_folded_gens`` lists the delta generations already baked in
+    (readers skip them, so a crash between the manifest commit and the
+    delta-dir cleanup can never double-apply a delta).  A crash at ANY
+    point leaves either the old state (pointer unmoved) or the new one
+    (pointer moved, stale dirs ignored) — never a partial or missing
+    dictionary."""
     index_dir = index_dir.rstrip("/")
     m = _manifest(index_dir)
     committed = [int(g) for g in m.get("committed_gens", [0])]
     gen = max(committed)
-    d = spark.read.parquet(f"{index_dir}/dict") \
+    cur_dir = m.get("dict_dir", "dict")
+    d = spark.read.parquet(f"{index_dir}/{cur_dir}") \
         .filter(F.col("gen").isin(committed))
     agg = d.groupBy("term", "bucket").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf"),
         F.max("wdf_max").alias("wdf_max"))
     delta_path = f"{index_dir}/dict_delta"
+    folded_gens = [int(g) for g in m.get("delta_folded_gens", [])]
+    live_delta_gens = [g for g in committed if g not in folded_gens]
     if os.path.exists(delta_path):
         deltas = (spark.read.parquet(delta_path)
-                  .filter(F.col("gen").isin(committed))
+                  .filter(F.col("gen").isin(live_delta_gens))
                   .groupBy("term", "bucket")
                   .agg(F.sum("ddf").alias("ddf"),
                        F.sum("dcf").alias("dcf")))
@@ -247,17 +272,26 @@ def fold_dict_deltas(spark: SparkSession, index_dir: str) -> None:
                        (F.col("cf") + F.coalesce("dcf", F.lit(0)))
                        .alias("cf"),
                        "wdf_max"))
-    tmp = f"{index_dir}/dict.fold_tmp"
-    old = f"{index_dir}/dict.fold_old"
+    # fresh dir per fold; a re-fold at the same gen alternates suffixes
+    # so it never overwrites the live dictionary it is reading from
+    new_dir = f"dict_fold_g{gen}"
+    if new_dir == cur_dir:
+        new_dir = f"dict_fold_g{gen}_r"
     (agg.filter(F.col("df") > 0)
      .withColumn("gen", F.lit(gen))
-     .repartition("bucket").sortWithinPartitions("term")
-     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(f"{index_dir}/dict", old)
-    os.rename(tmp, f"{index_dir}/dict")
-    shutil.rmtree(old)
+     .withColumn("tpfx", F.substring("term", 1, 1))
+     .repartition("tpfx", "bucket").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("tpfx")
+     .parquet(f"{index_dir}/{new_dir}"))
+    # atomic commit: point readers at the folded copy and mark every
+    # folded delta generation as baked-in
+    m["dict_dir"] = new_dir
+    m["delta_folded_gens"] = sorted(set(folded_gens + committed))
+    _write_manifest(index_dir, m)
+    # cleanup (safe at any time after the commit; a crash here only
+    # leaves ignored garbage)
+    if cur_dir != new_dir:
+        shutil.rmtree(f"{index_dir}/{cur_dir}", ignore_errors=True)
     if os.path.exists(delta_path):
         shutil.rmtree(delta_path)
 
@@ -283,12 +317,35 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
                        n_buckets=int(m["n_buckets"]), force=True)
 
 
+def recover_swap(index_dir: str) -> None:
+    """Crash recovery for compact_in_place's two-rename swap (ADVICE
+    r02): a crash between the renames leaves no ``index_dir`` but a
+    complete ``.compact_tmp`` (the new index — compact() finished before
+    the swap began) and/or a ``.compact_old`` (the pre-compact index).
+    Roll FORWARD to the tmp when it holds a complete manifest, else
+    roll back to the old.  Called by Searcher/upsert/compact on open;
+    a no-op when the index dir exists."""
+    index_dir = index_dir.rstrip("/")
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        return
+    tmp = index_dir + ".compact_tmp"
+    old = index_dir + ".compact_old"
+    if not os.path.exists(index_dir):
+        if os.path.exists(os.path.join(tmp, "manifest.json")):
+            os.rename(tmp, index_dir)
+        elif os.path.exists(os.path.join(old, "manifest.json")):
+            os.rename(old, index_dir)
+
+
 def compact_in_place(spark: SparkSession, index_dir: str) -> dict:
     """Compact into a sibling temp dir, then swap it in.  The swap is
     two renames; the manifest inside the new dir is complete before the
     swap, so a reader that re-opens mid-swap sees either the old or the
-    new index, never a partial one."""
+    new index — and a crash *between* the renames (no dir at
+    ``index_dir``) is rolled forward on the next open by
+    ``recover_swap`` (ADVICE r02)."""
     index_dir = index_dir.rstrip("/")
+    recover_swap(index_dir)
     tmp = index_dir + ".compact_tmp"
     old = index_dir + ".compact_old"
     if os.path.exists(tmp):

@@ -209,6 +209,107 @@ def test_fold_dict_deltas(spark, tmp_path_factory):
         assert_results_match(oracle2.search(q), s2.search(q))
 
 
+def test_build_resume_on_upserted_index_rebuilds(spark, tmp_path_factory):
+    """ADVICE r02 (medium): re-running build_index over an index with
+    committed upserts must NOT resume (resume would rewrite the manifest
+    with committed_gens=[0], hiding every upserted generation and
+    resurrecting tombstoned docs).  It must force a full rebuild from
+    the given docs instead."""
+    out = str(tmp_path_factory.mktemp("rebuild"))
+    df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
+    build_index(spark, df, out, block_span=4, n_buckets=8)
+    upsert(spark, out, spark.createDataFrame(BATCH, schema=DOCS_SCHEMA))
+    # re-run the build with the original corpus: a silent resume would
+    # leave gen-1 rows in the artifacts and stale upsert state visible
+    m = build_index(spark, df, out, block_span=4, n_buckets=8)
+    assert m["generation"] == 0 and m["committed_gens"] == [0]
+    s = Searcher(spark, out)
+    oracle_v1 = OracleIndex.build(V1)
+    for q in QUERIES:
+        assert_results_match(oracle_v1.search(q), s.search(q))
+    # the stats describe V1, not the upserted corpus
+    assert int(m["globalstats"]["n_docs"]) == oracle_v1.N
+
+
+def test_compact_swap_crash_recovery(spark, tmp_path_factory):
+    """ADVICE r02: a crash BETWEEN compact_in_place's two renames leaves
+    no index dir — the next open must roll the swap forward from the
+    complete .compact_tmp (or back from .compact_old)."""
+    import os
+    import shutil
+    out = str(tmp_path_factory.mktemp("swapcrash")) + "/idx"
+    df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
+    build_index(spark, df, out, block_span=4, n_buckets=8)
+    upsert(spark, out, spark.createDataFrame(BATCH, schema=DOCS_SCHEMA))
+    expected = Searcher(spark, out).search("beta ")
+
+    # simulate the exact mid-swap state: compact() finished into tmp,
+    # index_dir renamed away, second rename never happened
+    from mdq_spark.upsert import compact
+    compact(spark, out, out + ".compact_tmp")
+    os.rename(out, out + ".compact_old")
+    assert not os.path.exists(out)
+
+    s = Searcher(spark, out)  # auto-recovers (rolls forward)
+    assert_results_match(expected, s.search("beta "))
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    shutil.rmtree(out + ".compact_old", ignore_errors=True)
+
+    # roll-back path: only the old dir survives
+    os.rename(out, out + ".compact_old")
+    s2 = Searcher(spark, out)
+    assert_results_match(expected, s2.search("beta "))
+
+
+def test_fold_crash_leaves_deltas_unapplied_twice(spark, tmp_path_factory):
+    """ADVICE r02: fold_dict_deltas commits via an atomic manifest
+    pointer; if a crash leaves the (already folded) dict_delta dir on
+    disk, readers must NOT apply those deltas a second time."""
+    import os
+    import shutil
+    from mdq_spark.upsert import fold_dict_deltas
+    out = str(tmp_path_factory.mktemp("foldcrash"))
+    df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
+    build_index(spark, df, out, block_span=4, n_buckets=8)
+    upsert(spark, out, spark.createDataFrame(BATCH, schema=DOCS_SCHEMA))
+    delta_dir = os.path.join(out, "dict_delta")
+    saved = os.path.join(out, "_delta_copy")
+    shutil.copytree(delta_dir, saved)
+    fold_dict_deltas(spark, out)
+    # crash simulation: the folded deltas re-appear on disk
+    shutil.copytree(saved, delta_dir)
+    shutil.rmtree(saved)
+    s = Searcher(spark, out)
+    oracle = OracleIndex.build(FINAL)
+    for q in QUERIES:
+        assert_results_match(oracle.search(q), s.search(q))
+
+
+def test_suggest_never_writes_from_query_path(spark, tmp_path_factory):
+    """ADVICE r02: suggest() on an index without a spelling table must
+    fall back to an on-the-fly dictionary scan — no distributed write
+    from the read path (works on a read-only mount, no overwrite
+    races).  batch_suggest must agree with per-word suggest."""
+    import os
+    from mdq_spark.spell import build_spelling
+    out = str(tmp_path_factory.mktemp("spellro"))
+    df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
+    build_index(spark, df, out, block_span=4, n_buckets=8)
+    s = Searcher(spark, out)
+    words = ["alpa", "gamm", "beta", "zzzzq"]
+    got = {w: s.suggest(w) for w in words}
+    assert got["alpa"] == "alpha" and got["gamm"] == "gamma"
+    assert got["beta"] == "" and got["zzzzq"] == ""
+    # the fallback never materialized a table
+    assert not any(d.startswith("spelling") for d in os.listdir(out))
+    # explicit build (maintenance op) publishes atomically; answers and
+    # the batch API agree with the fallback
+    build_spelling(s)
+    assert os.path.exists(os.path.join(out, "spelling_meta.json"))
+    s2 = Searcher(spark, out)
+    assert s2.batch_suggest(words) == got
+
+
 def test_auto_compact_folds_tombstones(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("autoc"))
     df = spark.createDataFrame(V1, schema=DOCS_SCHEMA)
