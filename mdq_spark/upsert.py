@@ -42,7 +42,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import bm25
 from .build import (
@@ -111,24 +111,18 @@ def upsert(spark: SparkSession, index_dir: str,
     tombs = live.join(incoming_paths, "fullpath", "left_semi") \
         .select("doc_id").withColumn("gen", F.lit(gen))
 
-    # 2. fresh dense doc_ids past the committed maximum.  Orphan rows
-    # from a crashed attempt may share these ids — harmless, since only
-    # one gen holding a given doc_id can ever be committed.
+    # 2. fresh dense doc_ids past the committed maximum, assigned
+    # DataFrame-native (ingest.dense_ids — no .rdd, no per-row Python;
+    # VERDICT r02 #2).  Orphan rows from a crashed attempt may share
+    # these ids — harmless, since only one gen holding a given doc_id
+    # can ever be committed.
+    from .ingest import dense_ids
     next_id = int(m.get("next_doc_id", 0))
     if not next_id:
         next_id = int(docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
-    ordered = new_docs_df.drop("doc_id") \
-        .sortWithinPartitions("fullpath")
-    cols = [c for c in docs.columns if c not in ("doc_id", "gen")]
-    doc_schema = docs.drop("gen").schema
-
-    def assign(pair):
-        row, idx = pair
-        d = row.asDict()
-        return Row(doc_id=idx + next_id,
-                   **{c: d.get(c) for c in cols})
-    new_docs = spark.createDataFrame(
-        ordered.rdd.zipWithIndex().map(assign), schema=doc_schema)
+    cols = [c for c in docs.columns if c != "gen"]
+    new_docs = dense_ids(new_docs_df.drop("doc_id"), ["fullpath"],
+                         id_offset=next_id).select(*cols)
     n_new = new_docs.count()
 
     # 3. append forward store + tokenized staging + postings + dict,
