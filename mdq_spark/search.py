@@ -133,6 +133,58 @@ def _merge_kernel(groups: list, distinct: list, op: Optional[str],
     need_pos = op in ("PHRASE", "NEAR")
     SHIFT = np.int64(32)
 
+    def survivor_keys(runs, perm, idx) -> Optional[np.ndarray]:
+        """(doc_tag << 32 | position) keys for the survivor rows ``idx``
+        (indices into the term's sorted order; idx[j] is common doc j) —
+        positions are decoded ONLY here, after the AND intersection, and
+        only at survivor indices (VERDICT r02 #3).  One vectorized pass
+        per run: whole-blob varint decode, boundaries = cumsum(1 + wdf)
+        (count == wdf by the tokenizer's blob layout, verified with a
+        sequential fallback), then a repeat/gather + segmented cumsum —
+        no per-doc array materialization for non-survivors."""
+        orig = perm[idx] if perm is not None else idx
+        order2 = np.argsort(orig, kind="stable")
+        sorted_orig = orig[order2]
+        starts = np.zeros(len(runs) + 1, dtype=np.int64)
+        np.cumsum([n for _, n, _ in runs], out=starts[1:])
+        parts = []
+        for ri, (blob, n, wdf_run) in enumerate(runs):
+            a, b2 = np.searchsorted(sorted_orig, [starts[ri],
+                                                  starts[ri + 1]])
+            if a == b2 or blob is None:
+                continue
+            local = (sorted_orig[a:b2] - starts[ri]).astype(np.int64)
+            vals = varint_decode(blob).astype(np.int64)
+            bnds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(wdf_run + 1, out=bnds[1:])
+            if bnds[-1] != len(vals):
+                # count != wdf for this run: walk the counts instead
+                bnds[0] = 0
+                for k in range(n):
+                    bnds[k + 1] = bnds[k] + int(vals[bnds[k]]) + 1
+            cnts = vals[bnds[local]]
+            total = int(cnts.sum())
+            if total == 0:
+                continue
+            seg_off = np.zeros(len(cnts), dtype=np.int64)
+            np.cumsum(cnts[:-1], out=seg_off[1:])
+            gather = (np.repeat(bnds[local] + 1, cnts)
+                      + np.arange(total) - np.repeat(seg_off, cnts))
+            g = vals[gather] + 1  # gap-1 encoding: +1 everywhere,
+            g[seg_off] -= 1       # first value of a doc is absolute
+            cs = np.cumsum(g)
+            prev = np.repeat(cs[seg_off] - g[seg_off], cnts)
+            pos = cs - prev
+            tags = np.repeat(order2[a:b2].astype(np.int64), cnts)
+            parts.append(pos + (tags << SHIFT))
+        if not parts:
+            return None
+        # fast path: one run, no reorder -> tags (and so keys) are
+        # already ascending; otherwise sort the packed keys
+        if len(parts) == 1 and perm is None:
+            return parts[0]
+        return np.sort(np.concatenate(parts))
+
     def one_block(rows: list) -> Optional[pd.DataFrame]:
         by_term: dict = {}
         for r in rows:
@@ -142,7 +194,7 @@ def _merge_kernel(groups: list, distinct: list, op: Optional[str],
             rl = by_term.get(t)
             if not rl:
                 continue  # term absent from this block
-            ids_l, wdf_l, dl_l, pos_l = [], [], [], []
+            ids_l, wdf_l, dl_l, runs = [], [], [], []
             for r in rl:
                 n = int(r["n"])
                 ids_l.append(decode_doc_gaps(r["doc_gaps"], n)
@@ -150,18 +202,16 @@ def _merge_kernel(groups: list, distinct: list, op: Optional[str],
                 wdf_l.append(varint_decode(r["wdfs"], n).astype("int64"))
                 dl_l.append(varint_decode(r["doclens"], n).astype("int64"))
                 if need_pos:
-                    pos_l.extend(
-                        decode_positions(r["positions"], n)
-                        if r["positions"] is not None else [None] * n)
+                    # raw blob kept; decoded lazily for survivors only
+                    runs.append((r["positions"], n, wdf_l[-1]))
             ids = np.concatenate(ids_l)
             wdfs = np.concatenate(wdf_l)
             dls = np.concatenate(dl_l)
+            perm = None
             if len(ids_l) > 1:  # upsert appends can interleave id ranges
-                o = np.argsort(ids, kind="stable")
-                ids, wdfs, dls = ids[o], wdfs[o], dls[o]
-                if need_pos:
-                    pos_l = [pos_l[i] for i in o]
-            per_term[t] = (ids, wdfs, dls, pos_l)
+                perm = np.argsort(ids, kind="stable")
+                ids, wdfs, dls = ids[perm], wdfs[perm], dls[perm]
+            per_term[t] = (ids, wdfs, dls, (runs, perm))
 
         common = None
         for g in groups:
@@ -218,14 +268,11 @@ def _merge_kernel(groups: list, distinct: list, op: Optional[str],
                 # positional children are single Terms, so common is a
                 # subset of every term's run: all members found
                 _, idx = member(t, common)
-                pls = per_term[t][3]
-                segs = [np.asarray(pls[i], dtype="int64")
-                        + (np.int64(j) << SHIFT)
-                        for j, i in enumerate(idx)
-                        if pls[i] is not None and len(pls[i])]
-                if not segs:
+                runs, perm = per_term[t][3]
+                k = survivor_keys(runs, perm, idx)
+                if k is None:
                     return None
-                keys[t] = np.concatenate(segs)
+                keys[t] = k
             if op == "PHRASE":
                 cur = keys[order_terms[0]]
                 first = cur

@@ -209,6 +209,17 @@ def test_fold_dict_deltas(spark, tmp_path_factory):
         assert_results_match(oracle2.search(q), s2.search(q))
 
 
+@pytest.mark.parametrize("q", ['"beta gamma" ', '"beta beta" ',
+                               "beta NEAR gamma", '"gamma delta" '])
+def test_positional_parity_after_upsert(spark, upserted, oracle_final, q):
+    """VERDICT r02 #3 (lazy survivor-only positions decode): the
+    multi-run path — upsert appends interleave doc-id ranges, so the
+    merge kernel concatenates + reorders runs (perm != None) before the
+    position-window check."""
+    s = Searcher(spark, upserted[0])
+    assert_results_match(oracle_final.search(q), s.search(q))
+
+
 def test_build_resume_on_upserted_index_rebuilds(spark, tmp_path_factory):
     """ADVICE r02 (medium): re-running build_index over an index with
     committed upserts must NOT resume (resume would rewrite the manifest
