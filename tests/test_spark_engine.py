@@ -211,6 +211,19 @@ def test_blockmax_prune_identical(searcher, q):
            [(r["doc_id"], round(r["score"], 9)) for r in pruned]
 
 
+@pytest.mark.parametrize("q", PRUNE_QUERIES)
+def test_blockmax_prune_semijoin_path(spark, index, q):
+    """VERDICT r02 #1: when the kept-block set exceeds the constant
+    driver collect cap, pruning applies it as a broadcast semi-join
+    instead of collecting ids — results must stay identical."""
+    s = Searcher(spark, index[0])
+    s.PRUNE_COLLECT_CAP = 0  # force the blocks_df path for any kept set
+    plain = s.query_df(q, k=3, prune="never").collect()
+    pruned = s.query_df(q, k=3, prune="always").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in plain] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in pruned]
+
+
 def test_block_merge_single_exchange(searcher):
     """AND and positional plans use the block-local merge: one Exchange
     of ENCODED rows on the block key, no shuffle join of decoded
