@@ -214,12 +214,17 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
     return fn
 
 
-def _encode_runs(lf: float):
+def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS):
     """mapInArrow kernel over partitions sorted by (term, block,
     doc_id): encodes every contiguous (term, block) run.  Arrow batches
     can split a run, so an unfinished tail is carried into the next
     batch — one pass per partition, no per-group task overhead (the
     scalable replacement for a per-group applyInPandas).
+
+    The ``bucket`` column is NOT shuffled (VERDICT r02 #6: it is
+    derivable from the term) — it is recomputed here per GROUP, one
+    crc32 per (term, block) run instead of 8 bytes per posting row on
+    the wire.
 
     Fully vectorized — per-ROW Python is gone from the build hot path:
 
@@ -281,9 +286,13 @@ def _encode_runs(lf: float):
 
         sidx = pa.array(gstarts)
         counts = (gends - gstarts).astype(np.int32)
+        gterms = tbl.column("term").combine_chunks().take(sidx)
+        buckets = pa.array(
+            [term_bucket(t, n_buckets) for t in gterms.to_pylist()],
+            pa.int32())
         return pa.record_batch([
-            tbl.column("term").combine_chunks().take(sidx),
-            tbl.column("bucket").combine_chunks().take(sidx),
+            gterms,
+            buckets,
             tbl.column("block").combine_chunks().take(sidx),
             pa.array(ids[gstarts]),
             pa.array(ids[gends - 1]),
@@ -504,10 +513,14 @@ class IndexBuilder:
         if force or not _stage_done(p_post):
             t0 = time.time()
             lf = bm25.len_factor(float(gstats["avg_doclen"] or 0.0))
-            (terms.filter(F.col("gen") == 0)
+            # bucket is dropped from the inversion shuffle (derivable
+            # from the term — recomputed per group in the kernel);
+            # VERDICT r02 #6 shuffle-bytes work
+            (terms.filter(F.col("gen") == 0).drop("bucket")
              .repartition("term", "block")
              .sortWithinPartitions("term", "block", "doc_id")
-             .mapInArrow(_encode_runs(lf), schema=POSTINGS_SCHEMA)
+             .mapInArrow(_encode_runs(lf, self.n_buckets),
+                         schema=POSTINGS_SCHEMA)
              .withColumn("gen", F.lit(0))
              .write.mode("overwrite")
              .partitionBy("bucket").parquet(p_post))

@@ -58,6 +58,10 @@ def get_spark(app: str = "mdq_spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd on the wire: the inversion shuffle is the build's
+        # dominant IO and zstd beats lz4 ~1.4x on its row stream at
+        # negligible CPU (measured in scripts/measure_shuffle.py)
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")

@@ -190,9 +190,9 @@ def upsert(spark: SparkSession, index_dir: str,
 
     # postings for the new blocks (after globalstats so lf is current)
     lf = bm25.len_factor(float(gs["avg_doclen"] or 0.0))
-    (new_terms.repartition("term", "block")
+    (new_terms.drop("bucket").repartition("term", "block")
      .sortWithinPartitions("term", "block", "doc_id")
-     .mapInArrow(_encode_runs(lf), schema=POSTINGS_SCHEMA)
+     .mapInArrow(_encode_runs(lf, n_buckets), schema=POSTINGS_SCHEMA)
      .withColumn("gen", F.lit(gen))
      .write.mode("append").partitionBy("bucket")
      .parquet(f"{index_dir}/postings"))
