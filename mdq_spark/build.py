@@ -459,43 +459,74 @@ class IndexBuilder:
             stages.append({"stage": "terms", "sec": time.time() - t0})
         terms = self._read_staged(p_terms)
 
-        # stage 3: doc + collection statistics (A2/A3)
+        # stage 3: doc + collection statistics (A2/A3).  The collection
+        # aggregates ride the docstats WRITE via an Observation — no
+        # separate scan job for globalstats on a fresh build (the
+        # fallback agg below only runs when resuming past a completed
+        # docstats stage).
+        from pyspark.sql import Observation
         p_docstats = self.path("docstats")
+        p_global = self.path("globalstats")
+        gstats: Optional[dict] = None
         if force or not _stage_done(p_docstats):
             force = True
             t0 = time.time()
+            obs = Observation("gstats")
             (terms.filter(F.col("gen") == 0).groupBy("doc_id")
              .agg(F.max("doclen").alias("doclen"))
              .withColumn("gen", F.lit(0))
+             .observe(obs,
+                      F.count("doc_id").alias("n_docs"),
+                      F.sum("doclen").alias("total_doclen"),
+                      F.min("doclen").alias("doclen_lb"),
+                      F.max("doclen").alias("doclen_ub"),
+                      F.max("doc_id").alias("max_doc_id"))
              .write.mode("overwrite").parquet(p_docstats))
+            gstats = dict(obs.get)
+            gstats["avg_doclen"] = (
+                gstats["total_doclen"] / gstats["n_docs"]
+                if gstats.get("n_docs") else 0.0)
             stages.append({"stage": "docstats", "sec": time.time() - t0})
         docstats = self.spark.read.parquet(p_docstats)
 
-        p_global = self.path("globalstats")
         if force or not _stage_done(p_global) or \
                 not _stage_current(self.spark, p_global):
             force = True
             t0 = time.time()
-            (docstats.filter(F.col("gen") == 0).agg(
-                F.count("doc_id").alias("n_docs"),
-                F.sum("doclen").alias("total_doclen"),
-                F.min("doclen").alias("doclen_lb"),
-                F.max("doclen").alias("doclen_ub"),
-                F.max("doc_id").alias("max_doc_id"),
-            ).withColumn(
-                "avg_doclen",
-                F.col("total_doclen") / F.col("n_docs"))
-             .withColumn("gen", F.lit(0))
+            if gstats is None:  # resume: docstats exists, re-aggregate
+                g = docstats.filter(F.col("gen") == 0).agg(
+                    F.count("doc_id").alias("n_docs"),
+                    F.sum("doclen").alias("total_doclen"),
+                    F.min("doclen").alias("doclen_lb"),
+                    F.max("doclen").alias("doclen_ub"),
+                    F.max("doc_id").alias("max_doc_id"),
+                ).collect()[0].asDict()
+                g["avg_doclen"] = (g["total_doclen"] / g["n_docs"]
+                                   if g["n_docs"] else 0.0)
+                gstats = g
+            row = (gstats.get("n_docs"), gstats.get("total_doclen"),
+                   gstats.get("doclen_lb"), gstats.get("doclen_ub"),
+                   gstats.get("max_doc_id"), gstats.get("avg_doclen"), 0)
+            (self.spark.createDataFrame(
+                [row], "n_docs bigint, total_doclen bigint, "
+                       "doclen_lb int, doclen_ub int, max_doc_id bigint, "
+                       "avg_doclen double, gen int")
              .write.mode("overwrite").parquet(p_global))
             stages.append({"stage": "globalstats", "sec": time.time() - t0})
-        gstats = self.spark.read.parquet(p_global) \
-            .filter(F.col("gen") == 0).drop("gen").collect()[0].asDict()
+        else:
+            gstats = self.spark.read.parquet(p_global) \
+                .filter(F.col("gen") == 0).drop("gen") \
+                .collect()[0].asDict()
 
-        # stage 4: dictionary (term stats; drives termweights + wildcards)
+        # stage 4: dictionary (term stats; drives termweights +
+        # wildcards).  The manifest metrics (n_postings, skew) ride the
+        # write as an Observation — no separate dict scan afterwards.
         p_dict = self.path("dict")
+        dict_stats: Optional[dict] = None
         if force or not _stage_done(p_dict):
             force = True
             t0 = time.time()
+            dobs = Observation("dictstats")
             (terms.filter(F.col("gen") == 0).groupBy("term", "bucket")
              .agg(F.count("doc_id").alias("df"),
                   F.sum("wdf").alias("cf"),
@@ -504,8 +535,14 @@ class IndexBuilder:
              .withColumn("tpfx", F.substring("term", 1, 1))
              .repartition("tpfx", "bucket")
              .sortWithinPartitions("term")
+             .observe(dobs,
+                      F.sum("df").alias("n_postings"),
+                      F.max("df").alias("max_df"),
+                      F.avg("df").alias("avg_df"),
+                      F.count("term").alias("n_terms"))
              .write.mode("overwrite")
              .partitionBy("tpfx").parquet(p_dict))
+            dict_stats = dict(dobs.get)
             stages.append({"stage": "dict", "sec": time.time() - t0})
 
         # stage 5: posting blocks (delta+varint, block-max bounds)
@@ -526,14 +563,19 @@ class IndexBuilder:
              .partitionBy("bucket").parquet(p_post))
             stages.append({"stage": "postings", "sec": time.time() - t0})
 
-        # metrics + manifest (lineage per north rule)
+        # metrics + manifest (lineage per north rule); the dict
+        # aggregates come from the write-time Observation on a fresh
+        # build, or one scan on resume
         wall = time.time() - t_start
-        dict_df = self.spark.read.parquet(p_dict).filter(F.col("gen") == 0)
-        agg = dict_df.agg(
-            F.sum("df").alias("n_postings"),
-            F.max("df").alias("max_df"),
-            F.avg("df").alias("avg_df"),
-            F.count("term").alias("n_terms")).collect()[0]
+        if dict_stats is None:
+            dict_stats = (self.spark.read.parquet(p_dict)
+                          .filter(F.col("gen") == 0).agg(
+                              F.sum("df").alias("n_postings"),
+                              F.max("df").alias("max_df"),
+                              F.avg("df").alias("avg_df"),
+                              F.count("term").alias("n_terms"))
+                          .collect()[0].asDict())
+        agg = dict_stats
         n_postings = int(agg["n_postings"] or 0)
         skew = float(agg["max_df"] / agg["avg_df"]) if agg["avg_df"] else 0.0
         n_docs = int(gstats["n_docs"] or 0)

@@ -58,7 +58,16 @@ def _is_zero_width(ch: str) -> bool:
     return 0x200B <= o <= 0x200D or o == 0x2060 or o == 0xFEFF
 
 
+_ASCII_WORDCHARS = frozenset(
+    ch for ch in map(chr, range(128))
+    if unicodedata.category(ch) in _WORDCHAR_CATS)
+
+
 def _is_wordchar(ch: str) -> bool:
+    # ASCII fast table: one frozenset probe instead of a unicodedata
+    # category call (the char loop runs once per character)
+    if ch < "\x80":
+        return ch in _ASCII_WORDCHARS
     return unicodedata.category(ch) in _WORDCHAR_CATS
 
 
@@ -189,25 +198,35 @@ def _should_stem(term: str) -> bool:
 # --- fast path ---------------------------------------------------------------
 # Tokens never span whitespace (whitespace is neither wordchar nor infix),
 # so text can be processed per whitespace-chunk.  A chunk containing none
-# of the characters that activate special tokenizer rules — uppercase
-# ASCII (acronyms), + # & ' (suffix/infix), any non-ASCII codepoint, or a
-# digit-separator pattern — tokenizes exactly as runs of [a-z0-9_].  Such
-# chunks go through one compiled regex; everything else falls back to the
-# exact char-loop.  Equivalence is property-tested against parse_terms.
+# of the characters that activate special tokenizer rules — + # & '
+# (suffix/infix), any non-ASCII codepoint, a digit-separator pattern, or
+# an uppercase-followed-by-dot (the ONLY way uppercase matters: the
+# acronym rule needs an ``X.`` sequence; a plain capitalized word just
+# lowercases) — tokenizes exactly as runs of [a-z0-9_] over the
+# lowercased chunk.  Such chunks go through one compiled regex;
+# everything else falls back to the exact char-loop.  Equivalence is
+# property-tested against parse_terms (tests/test_tokenize.py).
 
 import re as _re
 
 _TRIGGER = _re.compile(r"[^\x00-\x7f]|[A-Z+#&']|\d[.,;]\d")
+_TRIGGER_UPPER_OK = _re.compile(r"[^\x00-\x7f]|[+#&']|\d[.,;]\d|[A-Z]\.")
 _FAST = _re.compile(r"[a-z0-9_]+")
 _LOWER_ASCII = frozenset("abcdefghijklmnopqrstuvwxyz")
 
 
 def chunk_tokens(text: str) -> Iterator[str]:
     """Token stream identical to ``parse_terms`` but with a fast regex
-    path for trigger-free whitespace chunks."""
+    path for trigger-free whitespace chunks.  Two tiers: fully benign
+    chunks skip the lowercase copy; chunks whose only special feature
+    is uppercase (the acronym rule needs an ``X.`` sequence — a plain
+    capitalized word just lowercases) take the regex path over
+    ``chunk.lower()``; everything else runs the exact char loop."""
     for chunk in text.split():
         if _TRIGGER.search(chunk) is None:
             yield from _FAST.findall(chunk)
+        elif _TRIGGER_UPPER_OK.search(chunk) is None:
+            yield from _FAST.findall(chunk.lower())
         else:
             for tok in parse_terms(chunk):
                 yield tok.term

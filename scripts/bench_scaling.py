@@ -74,24 +74,36 @@ def wait_quiet(thresh: float | None = None, max_wait: int = 900) -> bool:
     return False
 
 
-def run_once(sf_dir: str, cpus: int) -> dict:
+def run_once(sf_dir: str, cpus: int, _retry: bool = True) -> dict:
     gated = wait_quiet()
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_FRESH_BUILD"] = "1"
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
-    for line in out.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            r = json.loads(line)
-            r["load_gate_passed"] = gated
-            return r
-    raise RuntimeError(
-        f"bench.py produced no JSON at cpus={cpus}:\n{out.stdout[-2000:]}"
-        f"\n{out.stderr[-2000:]}")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, cwd=REPO,
+            timeout=900)
+        with open(f"/tmp/mdq_bench_c{cpus}.err", "w") as f:
+            f.write(out.stderr[-20000:])
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                r = json.loads(line)
+                r["load_gate_passed"] = gated
+                return r
+        err = (f"bench.py produced no JSON at cpus={cpus}:\n"
+               f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    except subprocess.TimeoutExpired:
+        err = f"bench.py timed out at cpus={cpus} (900s)"
+    # one retry: a rare JVM<->Python socket stall has been observed to
+    # wedge a run on this shared VM; a fresh JVM has always recovered
+    if _retry:
+        print(f"[bench_scaling] retrying after failure: {err[:200]}",
+              file=sys.stderr)
+        return run_once(sf_dir, cpus, _retry=False)
+    raise RuntimeError(err)
 
 
 def amplify(sf_dir: str, amp: int) -> str:
