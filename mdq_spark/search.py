@@ -1012,8 +1012,12 @@ class Searcher:
         units = self._scoring_units(node, ctx)
         if units:
             all_terms = sorted({t for _, tm in units for t in tm})
+            # the greatest doc lives in exactly one doc-range block, so
+            # only that block of each term needs decoding (a full
+            # posting scan here would read every block at 10^12 docs)
+            gblock = int(gdoc) // int(self.manifest["block_span"])
             present = {r["term"] for r in
-                       self._decoded(all_terms)
+                       self._decoded(all_terms, block_ids=[gblock])
                        .filter(F.col("doc_id") == gdoc)
                        .select("term").distinct().collect()}
             gn = sum(1 for _, tm in units if any(t in present for t in tm))
