@@ -214,7 +214,8 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
     return fn
 
 
-def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS):
+def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS,
+                 tid_terms=None):
     """mapInArrow kernel over partitions sorted by (term, block,
     doc_id): encodes every contiguous (term, block) run.  Arrow batches
     can split a run, so an unfinished tail is carried into the next
@@ -225,6 +226,13 @@ def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS):
     derivable from the term) — it is recomputed here per GROUP, one
     crc32 per (term, block) run instead of 8 bytes per posting row on
     the wire.
+
+    ``tid_terms``: when set (a broadcast of the sorted term list), the
+    input rows carry an integer ``tid`` instead of the term string
+    (adaptive dictionary encoding of the shuffle — used only when the
+    vocabulary fits a broadcast; at 10^12-file vocabularies the build
+    falls back to strings).  The term string is reconstructed here per
+    GROUP from the broadcast.
 
     Fully vectorized — per-ROW Python is gone from the build hot path:
 
@@ -286,10 +294,16 @@ def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS):
 
         sidx = pa.array(gstarts)
         counts = (gends - gstarts).astype(np.int32)
-        gterms = tbl.column("term").combine_chunks().take(sidx)
+        if tid_terms is not None:
+            tl = tid_terms.value
+            names = [tl[int(t)] for t in
+                     tbl.column("tid").to_numpy()[gstarts]]
+            gterms = pa.array(names, pa.string())
+        else:
+            gterms = tbl.column("term").combine_chunks().take(sidx)
+            names = gterms.to_pylist()
         buckets = pa.array(
-            [term_bucket(t, n_buckets) for t in gterms.to_pylist()],
-            pa.int32())
+            [term_bucket(t, n_buckets) for t in names], pa.int32())
         return pa.record_batch([
             gterms,
             buckets,
@@ -319,8 +333,11 @@ def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS):
             n = tbl.num_rows
             if n == 0:
                 continue
-            codes = pc.dictionary_encode(
-                tbl.column("term").combine_chunks()).indices.to_numpy()
+            if tid_terms is not None:
+                codes = tbl.column("tid").to_numpy()
+            else:
+                codes = pc.dictionary_encode(
+                    tbl.column("term").combine_chunks()).indices.to_numpy()
             blocks = tbl.column("block").to_numpy()
             bnd = np.flatnonzero((codes[1:] != codes[:-1])
                                  | (blocks[1:] != blocks[:-1]))
@@ -374,6 +391,12 @@ def _dir_bytes(path: str) -> int:
 
 class IndexBuilder:
     """Builds (or resumes) an index at ``out_dir`` from a docs DataFrame."""
+
+    # vocabulary cap for dictionary-encoding the inversion shuffle's
+    # term column: above this the term->tid broadcast stops being
+    # cheap and the shuffle carries strings instead (adaptive — a
+    # 10^12-file vocabulary can NOT be broadcast)
+    TID_ENCODE_MAX_TERMS = 4_000_000
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  block_span: int = DEFAULT_BLOCK_SPAN,
@@ -551,16 +574,41 @@ class IndexBuilder:
             t0 = time.time()
             lf = bm25.len_factor(float(gstats["avg_doclen"] or 0.0))
             # bucket is dropped from the inversion shuffle (derivable
-            # from the term — recomputed per group in the kernel);
-            # VERDICT r02 #6 shuffle-bytes work
-            (terms.filter(F.col("gen") == 0).drop("bucket")
-             .repartition("term", "block")
-             .sortWithinPartitions("term", "block", "doc_id")
-             .mapInArrow(_encode_runs(lf, self.n_buckets),
-                         schema=POSTINGS_SCHEMA)
+            # from the term — recomputed per group in the kernel), and
+            # when the vocabulary fits a broadcast the term string is
+            # replaced by a dense int32 tid on the wire (mapped back
+            # per group in the kernel).  ADAPTIVE: at 10^12-file
+            # vocabularies the broadcast doesn't fit and the build
+            # falls back to strings (VERDICT r02 #6 / ROADMAP).
+            src = terms.filter(F.col("gen") == 0).drop("bucket")
+            n_terms = int(dict_stats.get("n_terms") or 0) \
+                if dict_stats is not None else 0
+            tid_b = None
+            if 0 < n_terms <= self.TID_ENCODE_MAX_TERMS:
+                import numpy as np
+                import pandas as pd
+                term_list = sorted(
+                    r["term"] for r in self.spark.read.parquet(p_dict)
+                    .filter(F.col("gen") == 0).select("term").collect())
+                tid_b = self.spark.sparkContext.broadcast(term_list)
+                tid_df = self.spark.createDataFrame(pd.DataFrame({
+                    "term": term_list,
+                    "tid": np.arange(len(term_list), dtype="int32")}))
+                src = (src.join(F.broadcast(tid_df), "term")
+                       .drop("term")
+                       .repartition("tid", "block")
+                       .sortWithinPartitions("tid", "block", "doc_id"))
+            else:
+                src = (src.repartition("term", "block")
+                       .sortWithinPartitions("term", "block", "doc_id"))
+            (src.mapInArrow(
+                _encode_runs(lf, self.n_buckets, tid_terms=tid_b),
+                schema=POSTINGS_SCHEMA)
              .withColumn("gen", F.lit(0))
              .write.mode("overwrite")
              .partitionBy("bucket").parquet(p_post))
+            if tid_b is not None:
+                tid_b.unpersist()
             stages.append({"stage": "postings", "sec": time.time() - t0})
 
         # metrics + manifest (lineage per north rule); the dict

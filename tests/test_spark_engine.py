@@ -198,6 +198,39 @@ def test_sha256_invariant(spark, index):
         assert r["sha256"] == _sha(r["body"])
 
 
+def test_tid_encoded_shuffle_byte_identical(spark, index, tmp_path_factory):
+    """The adaptive tid-encoded inversion shuffle (term -> int32 on the
+    wire, mapped back per group in the kernel) must produce posting
+    blocks byte-identical to the string path."""
+    from pyspark.sql import functions as F
+    from mdq_spark.build import DOCS_SCHEMA, IndexBuilder, build_index
+
+    def checksum(path):
+        df = spark.read.parquet(f"{path}/postings")
+        return df.select(
+            F.sum(F.crc32("term")).alias("t"),
+            F.sum(F.crc32("doc_gaps")).alias("g"),
+            F.sum(F.crc32("wdfs")).alias("w"),
+            F.sum(F.crc32("doclens")).alias("d"),
+            F.sum(F.crc32("positions")).alias("p"),
+            F.sum("bucket").alias("b"), F.sum("n").alias("n"),
+            F.sum("block_max_wdf").alias("mw"),
+            F.count("*").alias("c")).collect()[0].asDict()
+
+    rows = [{**d, "sha256": _sha(d["body"])} for d in DOCS]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    out = str(tmp_path_factory.mktemp("tidoff"))
+    old = IndexBuilder.TID_ENCODE_MAX_TERMS
+    try:
+        IndexBuilder.TID_ENCODE_MAX_TERMS = 0  # force the string path
+        build_index(spark, df, out, block_span=4, n_buckets=8)
+    finally:
+        IndexBuilder.TID_ENCODE_MAX_TERMS = old
+    # the module-scoped `index` fixture was built with the tid path
+    # (its vocabulary is far below the cap)
+    assert checksum(index[0]) == checksum(out)
+
+
 PRUNE_QUERIES = ["spark", "quick brown", "qui", "zig ", "spark "]
 
 
