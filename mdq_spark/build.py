@@ -527,14 +527,33 @@ class IndexBuilder:
                 g["avg_doclen"] = (g["total_doclen"] / g["n_docs"]
                                    if g["n_docs"] else 0.0)
                 gstats = g
-            row = (gstats.get("n_docs"), gstats.get("total_doclen"),
-                   gstats.get("doclen_lb"), gstats.get("doclen_ub"),
-                   gstats.get("max_doc_id"), gstats.get("avg_doclen"), 0)
-            (self.spark.createDataFrame(
-                [row], "n_docs bigint, total_doclen bigint, "
-                       "doclen_lb int, doclen_ub int, max_doc_id bigint, "
-                       "avg_doclen double, gen int")
-             .write.mode("overwrite").parquet(p_global))
+            # 1-row artifact: write it driver-side with pyarrow — a
+            # Spark job for a single row costs ~1.5 s of pure
+            # scheduling at any scale (types pinned to match upsert's
+            # gen-tagged appends)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            import shutil as _sh
+            tbl = pa.table({
+                "n_docs": pa.array([gstats.get("n_docs")], pa.int64()),
+                "total_doclen": pa.array([gstats.get("total_doclen")],
+                                         pa.int64()),
+                "doclen_lb": pa.array([gstats.get("doclen_lb")],
+                                      pa.int32()),
+                "doclen_ub": pa.array([gstats.get("doclen_ub")],
+                                      pa.int32()),
+                "max_doc_id": pa.array([gstats.get("max_doc_id")],
+                                       pa.int64()),
+                "avg_doclen": pa.array([gstats.get("avg_doclen")],
+                                       pa.float64()),
+                "gen": pa.array([0], pa.int32()),
+            })
+            if os.path.exists(p_global):
+                _sh.rmtree(p_global)
+            os.makedirs(p_global)
+            pq.write_table(tbl, os.path.join(p_global,
+                                             "part-00000.parquet"))
+            open(os.path.join(p_global, "_SUCCESS"), "w").close()
             stages.append({"stage": "globalstats", "sec": time.time() - t0})
         else:
             gstats = self.spark.read.parquet(p_global) \
