@@ -448,18 +448,18 @@ class IndexBuilder:
                     [int(g) for g in old.get("committed_gens", [0])] != [0]:
                 force = True
 
-        # stage 1: forward store.  Range-partition by doc_id up to the
-        # cluster's parallelism: a small input parquet arrives as one
-        # split, which would serialize the tokenize stage on one core —
-        # the write here fixes the downstream split count (at 100 TB the
-        # source already has thousands of splits; this is a no-op cost).
+        # stage 1: forward store, range-partitioned + sorted by doc_id
+        # (doc-id clustering gives the fetch join row-group pruning).
+        # No explicit partition count: AQE coalesces the range exchange
+        # for small inputs and spark.sql.shuffle.partitions bounds it
+        # at scale — downstream parallelism does NOT depend on the file
+        # count here, because _read_staged re-splits by bytes.
         p_docs = self.path("docs")
-        par = self.spark.sparkContext.defaultParallelism * 2
         if force or not _stage_done(p_docs) or \
                 not _stage_current(self.spark, p_docs):
             force = True  # downstream stages derive from this one
             t0 = time.time()
-            (docs_df.repartitionByRange(par, "doc_id")
+            (docs_df.repartitionByRange("doc_id")
              .sortWithinPartitions("doc_id")
              .withColumn("gen", F.lit(0))
              .write.mode("overwrite").parquet(p_docs))
