@@ -45,6 +45,11 @@ def dense_ids(df: DataFrame, order_cols: list[str],
        only driver-side data is one int per partition;
     4. an Arrow kernel prepends ``partition_offset + arange`` per
        batch — vectorized, no per-row Python.
+
+    On a multi-executor cluster, swap the (non-replicated)
+    ``localCheckpoint`` for ``df.checkpoint()`` against a reliable
+    checkpoint dir if executor loss during ingest must be survivable —
+    the partition-pinning requirement is the same either way.
     """
     spark = df.sparkSession
     n = max(spark.sparkContext.defaultParallelism, 1)

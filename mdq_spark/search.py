@@ -334,14 +334,20 @@ def _merge_kernel(groups: list, distinct: list, op: Optional[str],
 class Searcher:
     """Query engine over an index directory built by build_index."""
 
+    # default prefix-expansion cap: far above any realistic query's
+    # useful expansion, far below what would OOM the driver on a
+    # 10^12-file dictionary (the expansion is collected; this is the
+    # one query-path collect whose size the corpus controls)
+    DEFAULT_WILDCARD_LIMIT = 100_000
+
     def __init__(self, spark: SparkSession, index_dir: str,
-                 wildcard_limit: int | None = None):
-        """``wildcard_limit``: optional cap on dictionary prefix
-        expansion (Xapian's set_max_expansion with
-        WILDCARD_LIMIT_MOST_FREQUENT semantics — keep the highest-df
-        terms).  Default None = unlimited, matching the reference's
-        QueryParser default; set it at 10^12-file scale where a short
-        prefix could expand to millions of terms."""
+                 wildcard_limit: int | None = DEFAULT_WILDCARD_LIMIT):
+        """``wildcard_limit``: cap on dictionary prefix expansion
+        (Xapian's set_max_expansion with WILDCARD_LIMIT_MOST_FREQUENT
+        semantics — keep the highest-df terms).  Defaults to a large
+        cap so a short prefix over a billion-term dictionary cannot
+        collect unbounded rows to the driver; pass None for Xapian's
+        literal unlimited default (identical behavior below the cap)."""
         self.spark = spark
         self.wildcard_limit = wildcard_limit
         self.dir = index_dir.rstrip("/")
