@@ -397,6 +397,9 @@ class IndexBuilder:
     # cheap and the shuffle carries strings instead (adaptive — a
     # 10^12-file vocabulary can NOT be broadcast)
     TID_ENCODE_MAX_TERMS = 4_000_000
+    # below this many postings the tid broadcast's fixed cost exceeds
+    # the per-row wire savings
+    TID_ENCODE_MIN_POSTINGS = 2_000_000
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  block_span: int = DEFAULT_BLOCK_SPAN,
@@ -602,8 +605,14 @@ class IndexBuilder:
             src = terms.filter(F.col("gen") == 0).drop("bucket")
             n_terms = int(dict_stats.get("n_terms") or 0) \
                 if dict_stats is not None else 0
+            n_post = int(dict_stats.get("n_postings") or 0) \
+                if dict_stats is not None else 0
             tid_b = None
-            if 0 < n_terms <= self.TID_ENCODE_MAX_TERMS:
+            # tid encoding pays per shuffled ROW and costs a fixed
+            # vocab collect + broadcast — skip it for small corpora
+            # where the fixed cost dominates
+            if 0 < n_terms <= self.TID_ENCODE_MAX_TERMS \
+                    and n_post >= self.TID_ENCODE_MIN_POSTINGS:
                 import numpy as np
                 import pandas as pd
                 term_list = sorted(

@@ -219,16 +219,24 @@ def test_tid_encoded_shuffle_byte_identical(spark, index, tmp_path_factory):
 
     rows = [{**d, "sha256": _sha(d["body"])} for d in DOCS]
     df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
-    out = str(tmp_path_factory.mktemp("tidoff"))
-    old = IndexBuilder.TID_ENCODE_MAX_TERMS
+    out_str = str(tmp_path_factory.mktemp("tidoff"))
+    out_tid = str(tmp_path_factory.mktemp("tidon"))
+    old_max = IndexBuilder.TID_ENCODE_MAX_TERMS
+    old_min = IndexBuilder.TID_ENCODE_MIN_POSTINGS
     try:
         IndexBuilder.TID_ENCODE_MAX_TERMS = 0  # force the string path
-        build_index(spark, df, out, block_span=4, n_buckets=8)
+        build_index(spark, df, out_str, block_span=4, n_buckets=8)
+        IndexBuilder.TID_ENCODE_MAX_TERMS = old_max
+        IndexBuilder.TID_ENCODE_MIN_POSTINGS = 0  # force the tid path
+        build_index(spark, df, out_tid, block_span=4, n_buckets=8)
     finally:
-        IndexBuilder.TID_ENCODE_MAX_TERMS = old
-    # the module-scoped `index` fixture was built with the tid path
-    # (its vocabulary is far below the cap)
-    assert checksum(index[0]) == checksum(out)
+        IndexBuilder.TID_ENCODE_MAX_TERMS = old_max
+        IndexBuilder.TID_ENCODE_MIN_POSTINGS = old_min
+    assert checksum(out_tid) == checksum(out_str)
+    # and the tid-built index answers queries identically
+    s = Searcher(spark, out_tid)
+    base = Searcher(spark, index[0])
+    assert s.search("spark AND query") == base.search("spark AND query")
 
 
 PRUNE_QUERIES = ["spark", "quick brown", "qui", "zig ", "spark "]
