@@ -38,9 +38,15 @@ def doc_from_documents_row(doc_id: int, text: str, lang: str,
     doc_id is made 1-based (Xapian docids start at 1; ascending-docid
     tie-break parity).  title/date are deterministic derivations so
     field-scoped and date-range queries are exercisable.
+
+    The title split is pinned to Java-regex-default ``\\s`` = ASCII
+    ``[ \\t\\n\\x0b\\f\\r]`` so this twin and the native-expression
+    adapter (ingest.docs_from_documents_table, which runs Java regexes)
+    agree on EVERY input — Python ``str.split()`` would also split on
+    Unicode whitespace like U+00A0 and diverge (ADVICE r03).
     """
     text = text or ""
-    words = text.split()
+    words = [w for w in re.split(r"[ \t\n\x0b\f\r]+", text) if w]
     return {
         "doc_id": int(doc_id) + 1,
         "fullpath": f"{source}/{int(doc_id)}.md",

@@ -141,7 +141,13 @@ def docs_from_code_table(spark: SparkSession, code_df: DataFrame,
     c8 = F.substring(F.coalesce(F.col("commit"), F.lit("0")), 1, 8)
     commit_num = F.when(c8.rlike("^[0-9a-fA-F]+$"),
                         F.conv(c8, 16, 10).cast("long")).otherwise(0)
+    # ordering keys ride along so dense_ids really orders by
+    # (repo, path) — NOT by the fullpath string, which flips when repo
+    # names share a prefix ('org/alpha-x' vs 'org/alpha': '-' < '/')
+    # (ADVICE r03); _doc_shape projects them away afterwards
     shaped = code_df.select(
+        F.col("repo").alias("_ord_repo"),
+        F.col("path").alias("_ord_path"),
         F.concat(F.col("repo"), F.lit("/"), F.col("path"))
         .alias("fullpath"),
         F.element_at(F.split(F.coalesce(F.col("path"), F.lit("")), "/"), -1)
@@ -160,7 +166,8 @@ def docs_from_code_table(spark: SparkSession, code_df: DataFrame,
         content.alias("body"),
         F.sha2(content, 256).alias("sha256"),
     )
-    return _doc_shape(dense_ids(shaped, ["fullpath"], id_offset))
+    return _doc_shape(dense_ids(shaped, ["_ord_repo", "_ord_path"],
+                                id_offset))
 
 
 def code_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -157,7 +157,12 @@ def _merge_kernel(groups: list, distinct: list, op: Optional[str],
             vals = varint_decode(blob).astype(np.int64)
             bnds = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(wdf_run + 1, out=bnds[1:])
-            if bnds[-1] != len(vals):
+            # per-doc check, not just the total: offsetting count!=wdf
+            # mismatches could make the totals coincide and silently
+            # decode wrong positions (ADVICE r03) — every stored count
+            # varint must equal that doc's wdf
+            if bnds[-1] != len(vals) or \
+                    not (vals[bnds[:-1]] == wdf_run).all():
                 # count != wdf for this run: walk the counts instead
                 bnds[0] = 0
                 for k in range(n):
@@ -350,6 +355,9 @@ class Searcher:
         literal unlimited default (identical behavior below the cap)."""
         self.spark = spark
         self.wildcard_limit = wildcard_limit
+        # observability for tests: rows the last _dict_lookup collected
+        # (bounded by len(terms) + wildcard_limit * len(patterns))
+        self._last_dict_rows_collected = 0
         self.dir = index_dir.rstrip("/")
         # crash recovery: roll a half-finished compact_in_place swap
         # forward (or back) before opening (ADVICE r02)
@@ -438,41 +446,101 @@ class Searcher:
 
     def _dict_lookup(self, terms: list[str], patterns: list[str]) -> dict:
         """One pruned dict scan for all exact terms + prefix patterns.
-        Returns {'exact': {term: row}, 'expansions': {pattern: [terms]}}."""
+        Returns {'exact': {term: row}, 'expansions': {pattern: [terms]}}.
+
+        Exact-only lookups collect directly (row count bounded by the
+        query's term count × generations).  As soon as a prefix pattern
+        is involved, the WHOLE lookup — gen aggregation, delta folding,
+        and the ``wildcard_limit`` most-frequent cap — runs
+        distributed-side, so the driver receives at most
+        ``len(terms) + wildcard_limit × len(patterns)`` rows no matter
+        how many dictionary terms a hot one-char prefix matches
+        (ADVICE r03 medium: the previous code collected the full
+        expansion and only then truncated)."""
         scan = self._dict_scan(terms, patterns)
         if scan is None:
-            return {"exact": {}, "expansions": {}}
-        # a term may have several dict rows (one per upsert generation):
-        # aggregate, then apply tombstone deltas so df/cf stay exact
-        raw = scan.collect()
-        agg: dict = {}
-        for r in raw:
-            d = agg.setdefault(r["term"], {"term": r["term"], "df": 0,
-                                           "cf": 0, "wdf_max": 0,
-                                           "bucket": r["bucket"]})
-            d["df"] += int(r["df"])
-            d["cf"] += int(r["cf"])
-            d["wdf_max"] = max(d["wdf_max"], int(r["wdf_max"]))
-        if self.dict_delta is not None and agg:
-            dcond = F.col("term").isin(list(agg))
-            for r in self.dict_delta.filter(dcond) \
-                    .groupBy("term").agg(F.sum("ddf").alias("ddf"),
-                                         F.sum("dcf").alias("dcf")) \
-                    .collect():
-                if r["term"] in agg:
-                    agg[r["term"]]["df"] += int(r["ddf"])
-                    agg[r["term"]]["cf"] += int(r["dcf"])
-        agg = {t: d for t, d in agg.items() if d["df"] > 0}
-        exact = {t: d for t, d in agg.items() if t in set(terms)}
-        expansions = {}
+            return {"exact": {}, "expansions": {}, "all": {}}
+        if not patterns:
+            # a term may have several dict rows (one per upsert
+            # generation): aggregate, then apply tombstone deltas so
+            # df/cf stay exact
+            raw = scan.collect()
+            self._last_dict_rows_collected = len(raw)
+            agg: dict = {}
+            for r in raw:
+                d = agg.setdefault(r["term"], {"term": r["term"], "df": 0,
+                                               "cf": 0, "wdf_max": 0,
+                                               "bucket": r["bucket"]})
+                d["df"] += int(r["df"])
+                d["cf"] += int(r["cf"])
+                d["wdf_max"] = max(d["wdf_max"], int(r["wdf_max"]))
+            if self.dict_delta is not None and agg:
+                dcond = F.col("term").isin(list(agg))
+                for r in self.dict_delta.filter(dcond) \
+                        .groupBy("term").agg(F.sum("ddf").alias("ddf"),
+                                             F.sum("dcf").alias("dcf")) \
+                        .collect():
+                    if r["term"] in agg:
+                        agg[r["term"]]["df"] += int(r["ddf"])
+                        agg[r["term"]]["cf"] += int(r["dcf"])
+            agg = {t: d for t, d in agg.items() if d["df"] > 0}
+            return {"exact": dict(agg), "expansions": {}, "all": agg}
+
+        # distributed path: tag each dict row with every lookup it
+        # serves ('' = exact, or the matching pattern), aggregate gens,
+        # fold deltas, and cap each pattern's expansion to the
+        # ``wildcard_limit`` highest-df terms — all before collect
+        from pyspark.sql import Window
+        tag_whens = []
+        if terms:
+            tag_whens.append(F.when(F.col("term").isin(terms), F.lit("")))
         for p in patterns:
-            exp = sorted(t for t in agg if t.startswith(p))
-            if self.wildcard_limit and len(exp) > self.wildcard_limit:
-                exp = sorted(
-                    sorted(exp, key=lambda t: -agg[t]["df"])
-                    [: self.wildcard_limit])
-            expansions[p] = exp
-        return {"exact": exact, "expansions": expansions, "all": agg}
+            tag_whens.append(
+                F.when(F.col("term").startswith(p), F.lit(p)))
+        tags = F.array_compact(F.array(*tag_whens))
+        rows = scan.select("term", "bucket", "df", "cf", "wdf_max",
+                           F.explode(tags).alias("tag"))
+        agg_df = rows.groupBy("tag", "term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+            F.max("wdf_max").alias("wdf_max"),
+            F.first("bucket").alias("bucket"))
+        if self.dict_delta is not None:
+            d = self.dict_delta.groupBy("term").agg(
+                F.sum("ddf").alias("ddf"), F.sum("dcf").alias("dcf"))
+            agg_df = (agg_df.join(d, "term", "left")
+                      .withColumn("df", F.col("df")
+                                  + F.coalesce(F.col("ddf"), F.lit(0)))
+                      .withColumn("cf", F.col("cf")
+                                  + F.coalesce(F.col("dcf"), F.lit(0)))
+                      .drop("ddf", "dcf"))
+        agg_df = agg_df.filter(F.col("df") > 0)
+        if self.wildcard_limit:
+            # WILDCARD_LIMIT_MOST_FREQUENT: per pattern keep the
+            # highest-df terms, ties by term — identical ranking to
+            # the old driver-side truncation, now inside the scan
+            w = Window.partitionBy("tag").orderBy(
+                F.desc("df"), F.asc("term"))
+            agg_df = (agg_df.withColumn("_rn", F.row_number().over(w))
+                      .filter((F.col("tag") == "")
+                              | (F.col("_rn") <= self.wildcard_limit))
+                      .drop("_rn"))
+        collected = agg_df.collect()
+        self._last_dict_rows_collected = len(collected)
+        allmap: dict = {}
+        exact: dict = {}
+        expansions: dict = {p: [] for p in patterns}
+        for r in collected:
+            d = {"term": r["term"], "df": int(r["df"]),
+                 "cf": int(r["cf"]), "wdf_max": int(r["wdf_max"]),
+                 "bucket": r["bucket"]}
+            allmap[r["term"]] = d
+            if r["tag"] == "":
+                exact[r["term"]] = d
+            else:
+                expansions[r["tag"]].append(r["term"])
+        for p in expansions:
+            expansions[p] = sorted(expansions[p])
+        return {"exact": exact, "expansions": expansions, "all": allmap}
 
     @staticmethod
     def _or_leaves(node: Node) -> Optional[list]:
@@ -1005,8 +1073,15 @@ class Searcher:
             else:
                 seed_df = self.spark.createDataFrame(
                     [(b,) for b in seed], "block bigint")
+                # materialize NOW: the finally-block unpersist below
+                # runs before the returned plan ever executes, so
+                # without this the kept_df lineage (the whole posting-
+                # metadata aggregation) would recompute at final query
+                # time — exactly in the large-kept-set case the persist
+                # targets (ADVICE r03)
                 final_ctx["blocks_df"] = \
-                    kept_df.unionByName(seed_df).distinct()
+                    kept_df.unionByName(seed_df).distinct() \
+                    .localCheckpoint(eager=True)
             return self._eval(node, final_ctx)
         finally:
             per_block.unpersist()

@@ -47,6 +47,24 @@ def test_code_table_ingest(spark, code_df):
     assert len(r["sha256"]) == 64
 
 
+def test_code_table_ids_repo_path_order(spark):
+    """ADVICE r03: ids follow (repo, path) column order, NOT fullpath
+    string order — 'org/alpha-x' sorts BEFORE 'org/alpha/' as a string
+    ('-' < '/'), but AFTER it as a (repo, path) tuple."""
+    from mdq_spark.ingest import docs_from_code_table
+    rows = [
+        ("org/alpha-x", "a.py", "e" * 40, "python", "x"),
+        ("org/alpha", "z.py", "f" * 40, "python", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, "
+              "lang string, content string")
+    docs = {r["fullpath"]: r["doc_id"]
+            for r in docs_from_code_table(spark, df).collect()}
+    assert docs["org/alpha/z.py"] == 1
+    assert docs["org/alpha-x/a.py"] == 2
+
+
 def test_code_table_end_to_end(spark, code_df, tmp_path_factory):
     from mdq_spark.ingest import docs_from_code_table
     out = str(tmp_path_factory.mktemp("codeidx"))

@@ -265,6 +265,31 @@ def test_blockmax_prune_semijoin_path(spark, index, q):
            [(r["doc_id"], round(r["score"], 9)) for r in pruned]
 
 
+def test_wildcard_collect_bounded(spark, index, searcher):
+    """ADVICE r03 (medium): the wildcard_limit cap is applied inside
+    the distributed scan — the driver never collects more than
+    ``len(terms) + wildcard_limit × len(patterns)`` dict rows, and the
+    capped expansion equals the old driver-side truncation (top-df,
+    ties by term, final list alphabetical)."""
+    full = searcher._dict_lookup([], ["q"])
+    allq = full["all"]
+    assert len(full["expansions"]["q"]) > 2  # prefix is actually hot
+    s = Searcher(spark, index[0], wildcard_limit=2)
+    d = s._dict_lookup(["spark"], ["q"])
+    assert s._last_dict_rows_collected <= 1 + 2
+    expect = sorted(sorted(full["expansions"]["q"],
+                           key=lambda t: (-allq[t]["df"], t))[:2])
+    assert d["expansions"]["q"] == expect
+    # exact stats are identical between the two code paths
+    exact_only = searcher._dict_lookup(["spark"], [])
+    assert d["exact"]["spark"]["df"] == exact_only["exact"]["spark"]["df"]
+    assert d["exact"]["spark"]["cf"] == exact_only["exact"]["spark"]["cf"]
+    # uncapped distributed path matches the full expansion
+    s2 = Searcher(spark, index[0], wildcard_limit=None)
+    assert s2._dict_lookup([], ["q"])["expansions"]["q"] == \
+        full["expansions"]["q"]
+
+
 def test_block_merge_single_exchange(searcher):
     """AND and positional plans use the block-local merge: one Exchange
     of ENCODED rows on the block key, no shuffle join of decoded
