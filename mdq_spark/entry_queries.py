@@ -483,11 +483,32 @@ def q_ft_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Xapian-mode entries (rows-only checks; deep parity lives in pytest)
+# Xapian-mode entries — DuckDB-oracled since r04 via the term-rows
+# export: tokenization is materialized as a parquet of the engine's own
+# per-(doc, term) rows (mdq_spark/xq_oracle.py, pure Python, identity-
+# tested against the build's terms/ staging) and DuckDB re-derives
+# stats, BM25, wildcards, booleans, and positional checks from it.
 # ---------------------------------------------------------------------------
+
+XQ_QUERIES = {
+    "xq_free_text": "sort merge join",
+    "xq_field_tag": "tag:en sort",
+    "xq_phrase": '"the fast" ',
+    "xq_boolean": "sort AND NOT merge",
+    "xq_and_maybe": "sort AND MAYBE merge",
+}
+
 
 def _xq(query: str, k: int = 10):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # keep the oracle's term-rows export fresh for THIS corpus, no
+        # matter which sf the driver runs (the export is partitioned by
+        # corpus row count, so different sfs coexist)
+        from .xq_oracle import ensure_termrows
+        try:
+            ensure_termrows(sf_dir)
+        except OSError:
+            pass
         s = ensure_index(spark, sf_dir, "xapian")
         return (s.query_df(query, k=k)
                 .select((F.col("doc_id") - 1).cast("long").alias("doc_id"),
@@ -550,12 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_percent_cutoff"] = _ft_percent_cutoff
     q["ft_spelling"] = _ft_spelling
 
-    # fulltext (Xapian mode, rows-only)
-    q["xq_free_text"] = _xq("sort merge join")
-    q["xq_field_tag"] = _xq("tag:en sort")
-    q["xq_phrase"] = _xq('"the fast" ')
-    q["xq_boolean"] = _xq("sort AND NOT merge")
-    q["xq_and_maybe"] = _xq("sort AND MAYBE merge")
+    # fulltext (Xapian mode, DuckDB-oracled via the term-rows export)
+    for name, xq in XQ_QUERIES.items():
+        q[name] = _xq(xq)
 
     # dedup / fingerprint
     q["dedup_exact"] = lambda sp, d: datapipe.exact_dedup(
@@ -794,6 +812,19 @@ def oracle_sql() -> dict[str, str]:
     o["ft_elite_top10"] = _ELITE_SQL
     o["ft_percent_cutoff"] = _PERCENT_SQL
     o["ft_spelling"] = _spelling_sql(SPELL_WORDS)
+
+    # Xapian-mode chain (VERDICT r03 #1): the term-rows export is pure
+    # Python (no Spark), so generate it here for the standard testdata
+    # scales — the oracle SQL then works regardless of whether the
+    # Spark side of an entry has run yet
+    from .xq_oracle import ensure_termrows, xq_oracle_sql
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        try:
+            ensure_termrows(d)
+        except OSError:
+            pass
+    for name, xq in XQ_QUERIES.items():
+        o[name] = xq_oracle_sql(xq)
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_sha,

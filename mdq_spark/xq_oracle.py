@@ -1,0 +1,367 @@
+"""Independent DuckDB oracle for the full Xapian-mode query chain.
+
+Closes VERDICT r03 #1: the five ``xq_*`` driver entries previously had
+no non-Python oracle because the Xapian tokenizer (T1-T3) is not
+SQL-expressible.  The tokenizer is the ONLY part taken as given here —
+its per-(doc, term) output rows are materialized to a parquet
+("term rows"), and everything downstream of tokenization is re-derived
+by DuckDB from those raw rows alone:
+
+* collection stats (N, doclen = Σ wdf incl. Z rows, avgdl)        — A2/A3
+* per-term df and the Xapian-BM25 termweight fold (tw<2 floor)     — §2.7
+* per-(doc, term) sumparts with the k1/b/min_normlen denominator   — §2.7
+* wildcard SYNONYM expansion (LIKE prefix, df = min(N, Σ df))      — Q5
+* boolean algebra OR/AND/AND_NOT/AND_MAYBE/FILTER/XOR              — Q6-Q11
+* PHRASE/NEAR positional checks from the stored position lists     — Q12/Q13
+* top-k with the docid-ascending tie-break                          — O1/O2
+
+The term-rows export is PURE PYTHON (pyarrow, no Spark): it applies the
+same two deterministic functions the engine's build kernel runs —
+``corpus.doc_from_documents_row`` (the parity-tested twin of the native
+ingest expressions) and ``tokenize.document_term_rows`` (the exact
+function ``build._tokenize_batches`` calls per document) — so the
+parquet is the engine's own staging data re-derived independently of
+Spark; ``tests/test_xq_oracle.py`` asserts row-for-row identity against
+a real index build's ``terms/`` staging.  Being Spark-free means
+``oracle_sql()`` can (re)generate it at registration time, so the
+DuckDB side never depends on the Spark side having run first.
+
+The query plan (which terms, which operator tree) is computed by
+``queryparse.parse_user_query`` at SQL-generation time — the same
+precedent as the spelling oracle's fragment scheme; the parse itself is
+pinned by byte-identical golden descriptions from the reference's own
+unit tests (tests/test_queryparse.py).
+
+Reference chain being verified end-to-end:
+``/root/reference/src/interactive/xapian_utils.rs:578-703`` (parse) ->
+Xapian QueryParser subset -> BM25 ranking (omenquire.cc:565-567).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from .plan import (
+    Bool, MatchAll, MatchNothing, Node, Positional, Scaled, Term,
+    ValueRange, Wildcard,
+)
+
+# bump when the export layout or tokenizer semantics change
+TERMROWS_VERSION = 1
+
+
+def termrows_root() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo, "_idx_cache", "xq_termrows")
+
+
+# ---------------------------------------------------------------------------
+# term-rows export (pure Python — no SparkSession needed)
+# ---------------------------------------------------------------------------
+
+def ensure_termrows(sf_dir: str) -> Optional[int]:
+    """Materialize the engine's per-(doc, term) rows for ``sf_dir``'s
+    documents table under ``termrows_root()/nd=<n_docs>/``.
+
+    Partitioned by the CORPUS row count so one oracle SQL string works
+    at any scale factor: the SQL selects the partition whose ``nd``
+    equals ``(SELECT count(*) FROM documents)``.  Idempotent: a
+    matching meta.json (version + source fingerprint) short-circuits.
+    Returns the nd key, or None when sf_dir has no documents table.
+    """
+    src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
+    if not os.path.exists(src):
+        return None
+    import pyarrow.parquet as pq
+
+    meta_src = pq.read_metadata(src)
+    nd = meta_src.num_rows
+    out = os.path.join(termrows_root(), f"nd={nd}")
+    mpath = os.path.join(out, "meta.json")
+    fingerprint = {
+        "version": TERMROWS_VERSION,
+        "n_rows": nd,
+        "src_bytes": os.path.getsize(src),
+    }
+    if os.path.exists(mpath):
+        try:
+            with open(mpath) as f:
+                if json.load(f) == fingerprint:
+                    return nd
+        except (OSError, ValueError):
+            pass
+
+    import pyarrow as pa
+
+    from .build import _varint
+    from .codec import decode_positions
+    from .corpus import doc_from_documents_row
+    from .tokenize import document_term_rows
+
+    tbl = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
+    doc_ids: list[int] = []
+    terms: list[str] = []
+    wdfs: list[int] = []
+    poss: list[Optional[list[int]]] = []
+    for did, text, lang, source in zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("lang").to_pylist(),
+            tbl.column("source").to_pylist()):
+        doc = doc_from_documents_row(did, text, lang, source)
+        agg, _doclen = document_term_rows(doc)
+        for term, ent in agg.items():
+            wdf, buf, _last = ent
+            doc_ids.append(doc["doc_id"])  # engine id (1-based)
+            terms.append(term)
+            wdfs.append(wdf)
+            if buf is None:  # Z-stem row: no positions
+                poss.append(None)
+            else:
+                # staging blob layout: varint(count) + gap varints —
+                # decoded with the same codec the query kernel uses
+                blob = _varint(wdf) + bytes(buf)
+                poss.append(
+                    decode_positions(blob, 1)[0].astype("int64").tolist())
+    out_tbl = pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "term": pa.array(terms, pa.string()),
+        "wdf": pa.array(wdfs, pa.int32()),
+        "positions": pa.array(poss, pa.list_(pa.int32())),
+    })
+    tmp = out + ".tmp"
+    import shutil
+    for p in (tmp, out):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    os.makedirs(tmp)
+    pq.write_table(out_tbl, os.path.join(tmp, "part-00000.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(fingerprint, f)
+    os.rename(tmp, out)
+    return nd
+
+
+# ---------------------------------------------------------------------------
+# plan -> DuckDB SQL compiler
+# ---------------------------------------------------------------------------
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _like(prefix: str) -> str:
+    """LIKE pattern for a term prefix, with metacharacters escaped."""
+    esc = prefix.replace("\\", "\\\\").replace("%", "\\%") \
+        .replace("_", "\\_")
+    return f"'{_q(esc)}%' ESCAPE '\\'"
+
+
+class _SqlGen:
+    """Recursive plan -> CTE-chain renderer.
+
+    Every node becomes a CTE producing at most one ``(doc_id, s)`` row
+    per document; node semantics mirror plan.py's table (and
+    search._bool / oracle.py), so the SQL is a third, independent
+    implementation of the same operator algebra.
+    """
+
+    def __init__(self) -> None:
+        self.ctes: list[str] = []
+        self.n = 0
+
+    def _name(self, kind: str) -> str:
+        self.n += 1
+        return f"{kind}{self.n}"
+
+    def _add(self, name: str, body: str) -> str:
+        self.ctes.append(f"{name} AS ({body})")
+        return name
+
+    # -- leaves ----------------------------------------------------------
+
+    def _unit(self, tf_body: str, df_expr: str) -> str:
+        """Scoring unit: per-doc summed wdf + a scalar df -> BM25 rows.
+
+        Formula identical to bm25.termweight/sumpart with the defaults
+        the engine uses (k1=1, b=0.5, min_normlen=0.5, k3=1 & wqf=1 so
+        the wqf factor is 1): s = 2·ln(fold(tw)) · wdf / (denom + wdf),
+        fold(tw) = tw·0.5 + 1 when tw < 2 (bm25weight.cc:106).
+        """
+        t = self._add(self._name("t"), tf_body)
+        d = self._add(self._name("d"), df_expr.format(t=t))
+        return self._add(self._name("w"), f"""
+  SELECT t.doc_id,
+         2 * ln(CASE WHEN x.tw < 2 THEN x.tw * 0.5 + 1 ELSE x.tw END)
+           * t.wdf / (dn.denom + t.wdf) AS s
+  FROM {t} t
+  JOIN dn ON dn.doc_id = t.doc_id
+  CROSS JOIN (SELECT (g.n_docs - {d}.df + 0.5) / ({d}.df + 0.5) AS tw
+              FROM {d}, g) x""")
+
+    def term(self, node: Term) -> str:
+        cond = f"term = '{_q(node.term)}'"
+        return self._unit(
+            f"SELECT doc_id, sum(wdf)::DOUBLE AS wdf FROM tr "
+            f"WHERE {cond} GROUP BY doc_id",
+            "SELECT count(*)::DOUBLE AS df FROM {t}")
+
+    def wildcard(self, node: Wildcard) -> str:
+        """OP_SYNONYM over the prefix expansion: per-doc wdf summed over
+        matching terms, df = min(N, Σ df) — Σ df over the expansion is
+        exactly the (doc, term) row count matching the prefix.  The
+        engine's wildcard_limit (100k most-frequent) is deliberately
+        not modeled: test corpora sit far below it."""
+        cond = f"term LIKE {_like(node.pattern)}"
+        return self._unit(
+            f"SELECT doc_id, sum(wdf)::DOUBLE AS wdf FROM tr "
+            f"WHERE {cond} GROUP BY doc_id",
+            f"SELECT least((SELECT n_docs FROM g), "
+            f"(SELECT count(*)::DOUBLE FROM tr WHERE {cond})) AS df "
+            f"FROM (SELECT 1)")
+
+    # -- combinators -----------------------------------------------------
+
+    def _union_sum(self, names: list[str], having: str = "") -> str:
+        union = " UNION ALL ".join(
+            f"SELECT doc_id, s FROM {n}" for n in names)
+        return self._add(self._name("w"), f"""
+  SELECT doc_id, sum(s) AS s FROM ({union}) u
+  GROUP BY doc_id {having}""")
+
+    def emit(self, node: Node) -> str:
+        if isinstance(node, Term):
+            return self.term(node)
+        if isinstance(node, Wildcard):
+            return self.wildcard(node)
+        if isinstance(node, MatchNothing) or isinstance(node, ValueRange):
+            return self._add(self._name("w"),
+                             "SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                             "CAST(NULL AS DOUBLE) AS s WHERE FALSE")
+        if isinstance(node, MatchAll):
+            return self._add(self._name("w"),
+                             "SELECT doc_id, 0.0 AS s FROM dl")
+        if isinstance(node, Scaled):
+            c = self.emit(node.child)
+            return self._add(
+                self._name("w"),
+                f"SELECT doc_id, s * {node.factor!r} AS s FROM {c}")
+        if isinstance(node, Positional):
+            return self.positional(node)
+        if isinstance(node, Bool):
+            kids = [self.emit(c) for c in node.children]
+            if node.op == "OR":
+                return self._union_sum(kids)
+            if node.op == "AND":
+                return self._union_sum(
+                    kids, f"HAVING count(*) = {len(kids)}")
+            if len(kids) != 2:
+                raise NotImplementedError(
+                    f"{node.op} arity {len(kids)}")
+            l, r = kids
+            if node.op == "AND_NOT":
+                body = (f"SELECT l.doc_id, l.s FROM {l} l WHERE "
+                        f"l.doc_id NOT IN (SELECT doc_id FROM {r})")
+            elif node.op == "AND_MAYBE":
+                body = (f"SELECT l.doc_id, l.s + coalesce(r.s, 0) AS s "
+                        f"FROM {l} l LEFT JOIN {r} r "
+                        f"ON r.doc_id = l.doc_id")
+            elif node.op == "FILTER":
+                body = (f"SELECT l.doc_id, l.s FROM {l} l WHERE "
+                        f"l.doc_id IN (SELECT doc_id FROM {r})")
+            elif node.op == "XOR":
+                body = (f"SELECT coalesce(l.doc_id, r.doc_id) AS doc_id, "
+                        f"coalesce(l.s, r.s) AS s "
+                        f"FROM {l} l FULL OUTER JOIN {r} r "
+                        f"ON r.doc_id = l.doc_id "
+                        f"WHERE l.doc_id IS NULL OR r.doc_id IS NULL")
+            else:
+                raise NotImplementedError(f"bool op {node.op}")
+            return self._add(self._name("w"), body)
+        raise NotImplementedError(f"node {node!r}")
+
+    def positional(self, node: Positional) -> str:
+        """PHRASE / NEAR over Term leaves.
+
+        PHRASE with window == arity (the only shape the parser emits
+        for quoted/implicit phrases): the greedy-minimal chain span
+        < window forces every gap to be exactly 1, i.e. a consecutive
+        run — rendered as a chained position self-join.  2-term PHRASE
+        with any window: exists p2 > p1 with p2 - p1 < window (the
+        minimal later position minimizes the span, so the existence
+        check is exact).  2-term NEAR: distinct positions, any order,
+        |Δ| < window (distinct terms never share a position).  Weight =
+        AND of the member term units restricted to hit docs
+        (search._merge_kernel / oracle._phrase_hit semantics)."""
+        terms = []
+        for c in node.children:
+            if not isinstance(c, Term):
+                raise NotImplementedError("positional over non-terms")
+            terms.append(c.term)
+
+        def posrel(t: str) -> str:
+            return (f"(SELECT doc_id, unnest(positions) AS p FROM tr "
+                    f"WHERE term = '{_q(t)}')")
+
+        if node.op == "PHRASE" and node.window == len(terms) \
+                and len(terms) >= 2:
+            joins = []
+            for j, t in enumerate(terms[1:], start=1):
+                joins.append(
+                    f"JOIN {posrel(t)} p{j} ON p{j}.doc_id = p0.doc_id "
+                    f"AND p{j}.p = p0.p + {j}")
+            hit_body = (f"SELECT DISTINCT p0.doc_id "
+                        f"FROM {posrel(terms[0])} p0 " + " ".join(joins))
+        elif len(terms) == 2 and node.op == "PHRASE":
+            hit_body = (
+                f"SELECT DISTINCT p0.doc_id FROM {posrel(terms[0])} p0 "
+                f"JOIN {posrel(terms[1])} p1 ON p1.doc_id = p0.doc_id "
+                f"AND p1.p > p0.p AND p1.p - p0.p < {node.window}")
+        elif len(terms) == 2 and node.op == "NEAR":
+            hit_body = (
+                f"SELECT DISTINCT p0.doc_id FROM {posrel(terms[0])} p0 "
+                f"JOIN {posrel(terms[1])} p1 ON p1.doc_id = p0.doc_id "
+                f"AND p1.p <> p0.p "
+                f"AND abs(p1.p - p0.p) < {node.window}")
+        else:
+            raise NotImplementedError(
+                f"{node.op} window={node.window} arity={len(terms)}")
+        hit = self._add(self._name("h"), hit_body)
+        units = [self.term(Term(t)) for t in terms]
+        both = self._union_sum(units,
+                               f"HAVING count(*) = {len(units)}")
+        return self._add(self._name("w"), f"""
+  SELECT a.doc_id, a.s FROM {both} a
+  WHERE a.doc_id IN (SELECT doc_id FROM {hit})""")
+
+
+_BASE_CTES = """tr AS (
+  SELECT doc_id, term, wdf, positions
+  FROM read_parquet('{root}/nd=*/*.parquet', hive_partitioning = true)
+  WHERE nd = (SELECT count(*) FROM documents)
+),
+dl AS (SELECT doc_id, sum(wdf)::DOUBLE AS doclen FROM tr GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, avg(doclen) AS avgdl FROM dl),
+dn AS (
+  SELECT dl.doc_id,
+         1.0 * (greatest(dl.doclen / g.avgdl, 0.5) * 0.5 + 0.5) AS denom
+  FROM dl, g
+)"""
+
+
+def xq_oracle_sql(query: str, k: int = 10) -> str:
+    """DuckDB SQL equivalent of ``Searcher.query_df(query, k)`` over the
+    term-rows parquet, output shape ``(doc_id, score)`` with engine ids
+    mapped back to the source table (engine ids are 1-based) and scores
+    rounded like the Spark entry (CAST(round(s,4) AS DOUBLE))."""
+    from .queryparse import parse_user_query
+    gen = _SqlGen()
+    top = gen.emit(parse_user_query(query))
+    ctes = ",\n".join(
+        [_BASE_CTES.format(root=termrows_root())] + gen.ctes)
+    return (f"WITH {ctes}\n"
+            f"SELECT doc_id - 1 AS doc_id, "
+            f"CAST(round(s, 4) AS DOUBLE) AS score\n"
+            f"FROM {top} ORDER BY s DESC, doc_id ASC LIMIT {k}")

@@ -1,0 +1,132 @@
+"""Xapian-mode DuckDB oracle (VERDICT r03 #1).
+
+Two guarantees:
+
+1. the pure-Python term-rows export IS the engine's own tokenization —
+   row-for-row identical to the ``terms/`` staging a real Spark index
+   build writes (same doc ids, terms, wdf, decoded positions);
+2. the plan->SQL compiler re-derives the full query chain downstream of
+   tokenization (stats, BM25, wildcards, booleans, positional checks)
+   such that DuckDB's answer hash-matches the distributed engine's for
+   the driver entries AND a wider operator battery.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def termrows_nd():
+    from mdq_spark.xq_oracle import ensure_termrows
+    nd = ensure_termrows(SF_DIR)
+    assert nd is not None
+    return nd
+
+
+@pytest.fixture(scope="module")
+def xq_searcher(spark):
+    from mdq_spark.entry_queries import ensure_index
+    return ensure_index(spark, SF_DIR, "xapian")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"'{SF_DIR}/documents.parquet'")
+    return c
+
+
+def test_termrows_match_engine_staging(spark, xq_searcher, termrows_nd):
+    """The exported parquet equals the staging rows the build kernel
+    shuffled: same (doc_id, term, wdf, positions) multiset."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from mdq_spark.codec import decode_positions
+    from mdq_spark.xq_oracle import termrows_root
+
+    out = os.path.join(termrows_root(), f"nd={termrows_nd}")
+    exp_tbl = pq.read_table(os.path.join(out, "part-00000.parquet"))
+    exported = {}
+    for did, term, wdf, pos in zip(
+            exp_tbl.column("doc_id").to_pylist(),
+            exp_tbl.column("term").to_pylist(),
+            exp_tbl.column("wdf").to_pylist(),
+            exp_tbl.column("positions").to_pylist()):
+        exported[(did, term)] = (wdf, tuple(pos) if pos is not None
+                                 else None)
+
+    staged = {}
+    rows = (spark.read.parquet(f"{xq_searcher.dir}/terms")
+            .filter(F.col("gen") == 0)
+            .select("doc_id", "term", "wdf", "positions").collect())
+    for r in rows:
+        if r["positions"] is None:
+            pos = None
+        else:
+            decoded = decode_positions(bytes(r["positions"]), 1)[0]
+            pos = tuple(int(x) for x in decoded)
+            if not pos:
+                pos = None
+        staged[(r["doc_id"], r["term"])] = (int(r["wdf"]), pos)
+
+    assert len(exported) == len(staged)
+    assert exported == staged
+
+
+def test_entry_queries_hash_match(spark, con, termrows_nd):
+    """The five xq_* driver entries: Spark result == DuckDB oracle
+    (rounded values, order-insensitive) — what CORRECTNESS_r04 checks."""
+    import __spark_entry__ as entry
+    qs, osql = entry.queries(), entry.oracle_sql()
+    for name in ["xq_free_text", "xq_field_tag", "xq_phrase",
+                 "xq_boolean", "xq_and_maybe"]:
+        srows = sorted((r["doc_id"], r["score"])
+                       for r in qs[name](spark, SF_DIR).collect())
+        drows = sorted((int(a), float(b)) for a, b in
+                       con.execute(osql[name]).fetchall())
+        assert srows == drows, name
+
+
+WIDER_QUERIES = [
+    "sort NEAR merge",         # NEAR via the outer operator split
+    "sort FILTER merge",       # FILTER
+    "sort XOR merge",          # XOR
+    "fast SCALED 2",           # SCALED over the partial pair
+    "tag:en AND NOT sort",     # prefix-term left, boolean chain
+    '"the fast slow" ',        # 3-term phrase (chained join)
+    "sor* merge",              # explicit trailing-* wildcard
+    "NOT sort AND fast",       # PURE_NOT -> MatchAll AND_NOT
+]
+
+
+@pytest.mark.parametrize("q", WIDER_QUERIES)
+def test_wider_operator_battery(spark, xq_searcher, con, termrows_nd, q):
+    """Beyond the driver entries: every compiler-supported operator
+    shape agrees with the engine at 4-decimal rounding."""
+    from pyspark.sql import functions as F
+    from mdq_spark.xq_oracle import xq_oracle_sql
+    sdf = (xq_searcher.query_df(q, k=10)
+           .select((F.col("doc_id") - 1).alias("doc_id"),
+                   F.round("score", 4).alias("score")))
+    srows = sorted((int(r["doc_id"]), float(r["score"]))
+                   for r in sdf.collect())
+    drows = sorted((int(a), float(b)) for a, b in
+                   con.execute(xq_oracle_sql(q)).fetchall())
+    assert srows == drows, q
+
+
+def test_export_idempotent(termrows_nd):
+    """A second ensure is a no-op (meta fingerprint short-circuit)."""
+    from mdq_spark.xq_oracle import ensure_termrows, termrows_root
+    out = os.path.join(termrows_root(), f"nd={termrows_nd}")
+    part = os.path.join(out, "part-00000.parquet")
+    before = os.path.getmtime(part)
+    assert ensure_termrows(SF_DIR) == termrows_nd
+    assert os.path.getmtime(part) == before
