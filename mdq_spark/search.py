@@ -309,6 +309,14 @@ def _merge_kernel(groups: list, distinct: list, op: Optional[str],
             common, weight = common[mask], weight[mask]
         return pd.DataFrame({"doc_id": common, "weight": weight})
 
+    return _carry_block_stream(one_block)
+
+
+def _carry_block_stream(one_block):
+    """mapInPandas wrapper shared by the block kernels: input partitions
+    are sorted by block; Arrow batches can split a block, so the last
+    block of each batch is carried into the next before grouping."""
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         leftover: Optional[pd.DataFrame] = None
         for pdf in batches:
@@ -334,6 +342,153 @@ def _merge_kernel(groups: list, distinct: list, op: Optional[str],
                 yield out
 
     return fn
+
+
+def _tree_kernel(spec, distinct: list, lf: float):
+    """Arrow kernel for the block-local BOOLEAN TREE path (VERDICT r03
+    #5): evaluates a compiled operator tree per doc-range block.  A doc
+    lives in exactly one block, so EVERY boolean function of term
+    membership — not just AND/OR — is block-locally decidable and the
+    whole tree runs in the single encoded-row exchange, replacing the
+    per-operator DataFrame joins for AND_NOT / AND_MAYBE / FILTER /
+    XOR trees (the reference evaluates these as one PostList merge per
+    query too: Xapian's multimatch over AndNotPostList etc.).
+
+    ``spec`` grammar (plain picklable tuples):
+
+      ("empty",)                      matches nothing
+      ("leaf", [member...])           union of members, weights summed —
+                                      member = ("term", [t], tw) |
+                                      ("syn", [t...], tw) (wildcard
+                                      expansion scores as ONE term)
+      ("or"|"and", [spec...])         union / intersection, weights
+                                      summed (plan.py semantics)
+      ("and_not"|"and_maybe"|"filter"|"xor", [l, r])
+      ("scaled", factor, spec)
+
+    Per block: decode each term's run once, build the doc universe
+    (union of all term runs) with per-doc BM25 denominators, then fold
+    the tree bottom-up over boolean masks + weight vectors — all numpy,
+    no per-row Python.  The weight invariant at every node: w == 0
+    outside the node's mask."""
+    import numpy as np
+
+    def one_block(rows: list) -> Optional[pd.DataFrame]:
+        by_term: dict = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        per_term: dict = {}
+        for t in distinct:
+            rl = by_term.get(t)
+            if not rl:
+                continue
+            ids_l, wdf_l, dl_l = [], [], []
+            for r in rl:
+                n = int(r["n"])
+                ids_l.append(decode_doc_gaps(r["doc_gaps"], n)
+                             .astype("int64"))
+                wdf_l.append(varint_decode(r["wdfs"], n).astype("int64"))
+                dl_l.append(varint_decode(r["doclens"], n).astype("int64"))
+            ids = np.concatenate(ids_l)
+            wdfs = np.concatenate(wdf_l)
+            dls = np.concatenate(dl_l)
+            if len(ids_l) > 1:  # upsert appends can interleave id ranges
+                perm = np.argsort(ids, kind="stable")
+                ids, wdfs, dls = ids[perm], wdfs[perm], dls[perm]
+            per_term[t] = (ids, wdfs, dls)
+        if not per_term:
+            return None
+
+        universe = np.unique(np.concatenate(
+            [v[0] for v in per_term.values()]))
+        U = universe.size
+        dls0 = np.zeros(U, dtype="int64")
+        have = np.zeros(U, dtype=bool)
+        members: dict = {}
+
+        def member(t):
+            m = members.get(t)
+            if m is None:
+                ids = per_term[t][0]
+                idx = np.searchsorted(ids, universe)
+                idx_c = np.minimum(idx, len(ids) - 1)
+                m = ((idx < len(ids)) & (ids[idx_c] == universe), idx_c)
+                members[t] = m
+            return m
+
+        for t in per_term:
+            f, idx = member(t)
+            fill = f & ~have
+            dls0[fill] = per_term[t][2][idx[fill]]
+            have |= fill
+        cdenom = bm25.K1 * (np.maximum(dls0 * lf, bm25.MIN_NORMLEN)
+                            * bm25.B + (1.0 - bm25.B))
+
+        def eval_spec(sp):
+            kind = sp[0]
+            if kind == "empty":
+                return np.zeros(U, dtype=bool), np.zeros(U)
+            if kind == "leaf":
+                m = np.zeros(U, dtype=bool)
+                w = np.zeros(U)
+                for mk, ts, tw in sp[1]:
+                    if mk == "term":
+                        t = ts[0]
+                        if t not in per_term:
+                            continue
+                        f, idx = member(t)
+                        wd = per_term[t][1][idx[f]]
+                        w[f] += tw * (wd / (cdenom[f] + wd))
+                        m |= f
+                    else:  # synonym: wdf summed over constituents
+                        ws = np.zeros(U, dtype="int64")
+                        for t in ts:
+                            if t not in per_term:
+                                continue
+                            f, idx = member(t)
+                            ws[f] += per_term[t][1][idx[f]]
+                        f = ws > 0
+                        w[f] += tw * (ws[f] / (cdenom[f] + ws[f]))
+                        m |= f
+                return m, w
+            if kind == "scaled":
+                m, w = eval_spec(sp[2])
+                return m, w * sp[1]
+            subs = [eval_spec(s) for s in sp[1]]
+            if kind == "or":
+                m = subs[0][0].copy()
+                w = subs[0][1].copy()
+                for ms, ws in subs[1:]:
+                    m |= ms
+                    w += ws
+                return m, w
+            if kind == "and":
+                m = subs[0][0].copy()
+                w = subs[0][1].copy()
+                for ms, ws in subs[1:]:
+                    m &= ms
+                    w += ws
+                return m, np.where(m, w, 0.0)
+            (ml, wl), (mr, wr) = subs
+            if kind == "and_not":
+                m = ml & ~mr
+                return m, np.where(m, wl, 0.0)
+            if kind == "and_maybe":
+                return ml, np.where(ml, wl + wr, 0.0)
+            if kind == "filter":
+                m = ml & mr
+                return m, np.where(m, wl, 0.0)
+            if kind == "xor":
+                m = ml ^ mr
+                return m, np.where(m, wl + wr, 0.0)
+            raise ValueError(f"unknown spec {kind}")
+
+        m, w = eval_spec(spec)
+        if not m.any():
+            return None
+        return pd.DataFrame({"doc_id": universe[m], "weight": w[m]})
+
+    return _carry_block_stream(one_block)
 
 
 class Searcher:
@@ -543,22 +698,6 @@ class Searcher:
         return {"exact": exact, "expansions": expansions, "all": allmap}
 
     @staticmethod
-    def _or_leaves(node: Node) -> Optional[list]:
-        """Flatten a pure-OR tree into its Term/Wildcard leaves; None
-        when any other operator appears (not block-merge-routable)."""
-        if isinstance(node, (Term, Wildcard)):
-            return [node]
-        if isinstance(node, Bool) and node.op == "OR":
-            out: list = []
-            for c in node.children:
-                f = Searcher._or_leaves(c)
-                if f is None:
-                    return None
-                out.extend(f)
-            return out
-        return None
-
-    @staticmethod
     def _walk(node: Node, terms: set, patterns: set):
         if isinstance(node, Term):
             terms.add(node.term)
@@ -650,7 +789,7 @@ class Searcher:
             return dec.select("doc_id",
                               self._weight_col(tw).alias("weight"))
         if isinstance(node, Wildcard):
-            merged = self._block_merge((node,), ctx, combine="OR")
+            merged = self._block_eval_tree(node, ctx)
             if merged is not None:
                 return merged
             terms = ctx["dict"]["expansions"].get(node.pattern, [])
@@ -719,26 +858,56 @@ class Searcher:
         return self._synonym(dict(counts), ctx)
 
     def _block_merge(self, children: tuple, ctx: dict,
-                     op: Optional[str] = None,
-                     window: int = 0,
-                     combine: str = "AND") -> Optional[DataFrame]:
-        """AND / OR / PHRASE / NEAR over Term/Wildcard children as a
-        block-local merge: ONE exchange of the compact ENCODED posting
-        rows on the shared doc-range block key (bytes, ~2 orders of
-        magnitude smaller than decoded rows), then per-block decode +
-        intersect/union + score + position check inside a single Arrow
-        kernel.  Replaces the per-term decode + N-way shuffle join on
-        doc_id for AND (VERDICT r01 #8) and the decoded-row
-        union+groupBy shuffle for OR — a doc lives in exactly one
-        doc-range block, so per-block weights are final with no
-        cross-block aggregation.  Per-block working set is bounded by
+                     op: str = "PHRASE",
+                     window: int = 0) -> Optional[DataFrame]:
+        """PHRASE / NEAR over Term children as a block-local merge: ONE
+        exchange of the compact ENCODED posting rows on the shared
+        doc-range block key, then per-block decode + intersect + score
+        + the vectorized position-window check inside a single Arrow
+        kernel with lazy survivor-only position decode.  (Boolean trees
+        take the sibling ``_block_eval_tree`` path; this kernel is the
+        positions-aware one.)  Per-block working set is bounded by
         block_span per term at any corpus size."""
-        need_pos = op in ("PHRASE", "NEAR")
+        groups = []
+        for c in children:
+            if not isinstance(c, Term):
+                return None  # positions live on term leaves only
+            info = ctx["dict"]["exact"].get(c.term)
+            if not info:
+                return self._empty()  # child matches nothing
+            groups.append([("term", [c.term], bm25.termweight(
+                self.N, int(info["df"]), c.wqf))])
+        distinct = sorted({t for g in groups for _, ts, _ in g for t in ts})
+        blocks = self._scan_blocks(distinct)
+        if ctx.get("blocks") is not None:
+            blocks = blocks.filter(
+                F.col("block").isin([int(b) for b in ctx["blocks"]]))
+        if ctx.get("blocks_df") is not None:
+            blocks = blocks.join(F.broadcast(ctx["blocks_df"]), "block",
+                                 "left_semi")
+        cols = ["block", "term", "n", "doc_gaps", "wdfs", "doclens",
+                "positions"]
+        enc = (blocks.select(*cols)
+               .repartition("block").sortWithinPartitions("block"))
+        out = enc.mapInPandas(
+            _merge_kernel(groups, distinct, op, window, self.lf),
+            "doc_id bigint, weight double")
+        if self.tombstones is not None:
+            out = out.join(self.tombstones, "doc_id", "left_anti")
+        if ctx["allowed"] is not None:
+            out = out.join(ctx["allowed"], "doc_id", "left_semi")
+        return out
+
+    def _compile_block_spec(self, node: Node, ctx: dict):
+        """Compile a plan tree into a ``_tree_kernel`` spec, or None
+        when the tree isn't block-local: MatchAll (docs with no query
+        term in a block aren't in its posting universe) and positional
+        nodes (they take the dedicated lazy-positions kernel).  OR of
+        pure leaves flattens into one 'leaf' spec — identical weights
+        (union + sum), fewer masks."""
         known = ctx["dict"]["all"]
 
-        def member_of(leaf):
-            """("term"/"syn", [terms], tw) for a Term or Wildcard leaf;
-            None if the leaf matches nothing."""
+        def leaf_member(leaf):
             if isinstance(leaf, Term):
                 info = ctx["dict"]["exact"].get(leaf.term)
                 if not info:
@@ -752,53 +921,94 @@ class Searcher:
                 return None
             return ("syn", ts, bm25.termweight(self.N, df_est, 1))
 
-        if combine == "OR":
-            # one flat group: union semantics, weights summed over every
-            # present member; empty leaves just contribute nothing
-            members = []
-            for c in children:
-                if not isinstance(c, (Term, Wildcard)):
+        if isinstance(node, (Term, Wildcard)):
+            m = leaf_member(node)
+            return ("leaf", [m]) if m else ("empty",)
+        if isinstance(node, (MatchNothing, ValueRange)):
+            return ("empty",)
+        if isinstance(node, Scaled):
+            sub = self._compile_block_spec(node.child, ctx)
+            if sub is None:
+                return None
+            return ("scaled", node.factor, sub)
+        if isinstance(node, Bool):
+            if node.op in ("OR", "AND"):
+                subs = []
+                for c in node.children:
+                    s = self._compile_block_spec(c, ctx)
+                    if s is None:
+                        return None
+                    subs.append(s)
+                if node.op == "OR":
+                    # flatten leaf children into one union group and
+                    # drop empties (OR identity)
+                    members, rest = [], []
+                    for s in subs:
+                        if s[0] == "leaf":
+                            members.extend(s[1])
+                        elif s[0] != "empty":
+                            rest.append(s)
+                    if members:
+                        rest.insert(0, ("leaf", members))
+                    if not rest:
+                        return ("empty",)
+                    return rest[0] if len(rest) == 1 else ("or", rest)
+                if any(s[0] == "empty" for s in subs):
+                    return ("empty",)  # AND absorbing element
+                return ("and", subs)
+            if node.op in ("AND_NOT", "AND_MAYBE", "FILTER", "XOR") \
+                    and len(node.children) == 2:
+                l = self._compile_block_spec(node.children[0], ctx)
+                r = self._compile_block_spec(node.children[1], ctx)
+                if l is None or r is None:
                     return None
-                m = member_of(c)
-                if m:
-                    members.append(m)
-            if not members:
-                return self._empty()
-            groups = [members]
-        else:
-            groups = []
-            for c in children:
-                if isinstance(c, (Term, Wildcard)):
-                    if need_pos and not isinstance(c, Term):
-                        return None  # positions live on term leaves only
-                    leaves = [c]
-                elif (not need_pos and isinstance(c, Bool)
-                      and c.op == "OR"
-                      and all(isinstance(g, (Term, Wildcard))
-                              for g in c.children)):
-                    # the parser's free-text shape: (WILDCARD x OR Zstem)
-                    leaves = list(c.children)
-                else:
-                    return None  # not mergeable; caller uses join path
-                group = [m for m in (member_of(le) for le in leaves) if m]
-                if not group:
-                    return self._empty()  # child matches nothing
-                groups.append(group)
-        distinct = sorted({t for g in groups for _, ts, _ in g for t in ts})
-        blocks = self._scan_blocks(distinct)
+                if l[0] == "empty":
+                    return r if node.op == "XOR" else ("empty",)
+                if r[0] == "empty":
+                    # x AND_NOT/AND_MAYBE/XOR nothing = x;
+                    # x FILTER nothing = nothing (plan.combine)
+                    return ("empty",) if node.op == "FILTER" else l
+                return (node.op.lower(), [l, r])
+        return None
+
+    @staticmethod
+    def _spec_terms(spec, out: set):
+        if spec[0] == "leaf":
+            for _, ts, _ in spec[1]:
+                out.update(ts)
+        elif spec[0] == "scaled":
+            Searcher._spec_terms(spec[2], out)
+        elif spec[0] in ("or", "and", "and_not", "and_maybe",
+                         "filter", "xor"):
+            for s in spec[1]:
+                Searcher._spec_terms(s, out)
+
+    def _block_eval_tree(self, node: Node, ctx: dict) \
+            -> Optional[DataFrame]:
+        """Evaluate a block-local boolean tree in ONE exchange: scan the
+        encoded posting rows of every referenced term, shuffle once on
+        the doc-range block key, fold the whole operator tree inside
+        the Arrow kernel.  Returns None when the tree isn't compilable
+        (caller falls back to per-operator joins)."""
+        spec = self._compile_block_spec(node, ctx)
+        if spec is None:
+            return None
+        terms: set = set()
+        self._spec_terms(spec, terms)
+        if spec == ("empty",) or not terms:
+            return self._empty()
+        blocks = self._scan_blocks(sorted(terms))
         if ctx.get("blocks") is not None:
             blocks = blocks.filter(
                 F.col("block").isin([int(b) for b in ctx["blocks"]]))
         if ctx.get("blocks_df") is not None:
             blocks = blocks.join(F.broadcast(ctx["blocks_df"]), "block",
                                  "left_semi")
-        cols = ["block", "term", "n", "doc_gaps", "wdfs", "doclens"]
-        if need_pos:
-            cols.append("positions")
-        enc = (blocks.select(*cols)
+        enc = (blocks.select("block", "term", "n", "doc_gaps", "wdfs",
+                             "doclens")
                .repartition("block").sortWithinPartitions("block"))
         out = enc.mapInPandas(
-            _merge_kernel(groups, distinct, op, window, self.lf),
+            _tree_kernel(spec, sorted(terms), self.lf),
             "doc_id bigint, weight double")
         if self.tombstones is not None:
             out = out.join(self.tombstones, "doc_id", "left_anti")
@@ -852,17 +1062,15 @@ class Searcher:
             return out.groupBy("doc_id").agg(
                 F.sum("weight").alias("weight")) if out is not None \
                 else self._empty()
-        if op == "AND":
-            merged = self._block_merge(node.children, ctx)
+        if op in ("AND", "OR", "AND_NOT", "AND_MAYBE", "FILTER", "XOR"):
+            # block-local boolean tree: the WHOLE tree (not just
+            # AND/pure-OR) folds inside one encoded-row exchange when
+            # every leaf is a Term/Wildcard — a doc lives in exactly
+            # one doc-range block, so any boolean function of term
+            # membership is block-locally decidable (VERDICT r03 #5)
+            merged = self._block_eval_tree(node, ctx)
             if merged is not None:
                 return merged
-        if op == "OR":
-            leaves = self._or_leaves(node)
-            if leaves is not None:
-                merged = self._block_merge(tuple(leaves), ctx,
-                                           combine="OR")
-                if merged is not None:
-                    return merged
         sides = [self._eval(c, ctx) for c in node.children]
         if op == "OR":
             out = sides[0]

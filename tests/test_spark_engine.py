@@ -295,10 +295,15 @@ def test_block_merge_single_exchange(searcher):
     of ENCODED rows on the block key, no shuffle join of decoded
     streams (VERDICT r01 #8), no per-row Python (VERDICT r01 #2)."""
     # covers Term children, (WILDCARD x OR Zstem) children (the parsed
-    # free-text shape), multi-term PHRASE, and flat OR unions
+    # free-text shape), multi-term PHRASE, flat OR unions, and — via
+    # the boolean tree kernel (VERDICT r03 #5) — AND_NOT / AND_MAYBE /
+    # FILTER / XOR trees, which previously ran as DataFrame joins
     for q in ["spark AND query", "spark AND query ", '"quick brown" ',
               '"hee hee hee" ', "spark OR quick", "planner OR fox",
-              "spark quick planner"]:
+              "spark quick planner",
+              "spark AND NOT query", "quick AND MAYBE lazy",
+              "quick FILTER lazy", "spark XOR query",
+              "spark AND NOT query ", "qui* AND NOT planner"]:
         df = searcher.query_df(q, k=3, prune="never")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, q
