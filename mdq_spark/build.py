@@ -404,12 +404,20 @@ class IndexBuilder:
     def __init__(self, spark: SparkSession, out_dir: str,
                  block_span: int = DEFAULT_BLOCK_SPAN,
                  n_buckets: int = DEFAULT_N_BUCKETS,
-                 mode: str = "xapian"):
+                 mode: str = "xapian",
+                 spelling: bool = False):
+        """``spelling``: materialize the spelling fragment table at the
+        end of the build (VERDICT r03 #6) so a cold index answers its
+        first suggest() from the prebuilt bucketed table instead of the
+        on-the-fly dictionary fallback.  Off by default — it is a
+        maintenance artifact like compact, and build benchmarks measure
+        the index pipeline."""
         self.spark = spark
         self.out = out_dir.rstrip("/")
         self.block_span = block_span
         self.n_buckets = n_buckets
         self.mode = mode
+        self.spelling = spelling
         self.metrics: dict = {}
 
     def path(self, name: str) -> str:
@@ -682,6 +690,15 @@ class IndexBuilder:
         }
         with open(self.path("manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
+        if self.spelling:
+            # after the commit: the fragment table derives from the
+            # committed dictionary and publishes via its own atomic
+            # pointer (spell.build_spelling), so a crash here leaves a
+            # fully queryable index whose first suggest() just takes
+            # the fallback path
+            from .search import Searcher
+            from .spell import build_spelling
+            build_spelling(Searcher(self.spark, self.out))
         return manifest
 
 

@@ -47,8 +47,20 @@ def ensure_index(spark: SparkSession, sf_dir: str, mode: str) -> Searcher:
         return _SEARCHERS[key]
     if not os.path.exists(os.path.join(out, "manifest.json")):
         docs = docs_from_documents_table(spark, sf_dir)
-        build_index(spark, docs, out, mode=mode)
+        # spelling=True: ft_spelling answers from the prebuilt bucketed
+        # fragment table on a cold index (VERDICT r03 #6); the
+        # on-the-fly fallback path stays pytest-covered
+        build_index(spark, docs, out, mode=mode,
+                    spelling=(mode == "simple"))
     s = Searcher(spark, out)
+    if mode == "simple":
+        # heal caches built before the spelling-at-build flag existed:
+        # publish the fragment table once so ft_spelling runs against
+        # the prebuilt bucketed path (build_spelling is idempotent and
+        # atomic; suggest() itself still never writes)
+        from .spell import _current_table, build_spelling
+        if _current_table(s) is None:
+            build_spelling(s)
     _SEARCHERS[key] = s
     return s
 

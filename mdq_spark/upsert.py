@@ -69,12 +69,15 @@ def _write_manifest(index_dir: str, m: dict) -> None:
 
 def upsert(spark: SparkSession, index_dir: str,
            new_docs_df: DataFrame,
-           auto_compact_ratio: float | None = None) -> dict:
+           auto_compact_ratio: float | None = None,
+           spelling: bool = False) -> dict:
     """Batch upsert keyed by fullpath.  ``new_docs_df`` must have the
     DOCS_SCHEMA columns except ``doc_id`` may be arbitrary (fresh ids
     are assigned here).  ``auto_compact_ratio``: if set, a compaction
     runs in place after the commit when tombstones exceed that fraction
-    of total docs."""
+    of total docs.  ``spelling``: rebuild the spelling fragment table
+    after the commit (the old table is generation-stale the moment the
+    commit lands, so readers fall back until the rebuild publishes)."""
     index_dir = index_dir.rstrip("/")
     m = _manifest(index_dir)
     if int(m.get("format_version", 1)) != FORMAT_VERSION:
@@ -220,6 +223,10 @@ def upsert(spark: SparkSession, index_dir: str,
         total = n_live + n_tomb
         if total and n_tomb / total >= auto_compact_ratio:
             m = compact_in_place(spark, index_dir)
+    if spelling:
+        from .search import Searcher
+        from .spell import build_spelling
+        build_spelling(Searcher(spark, index_dir))
     return m
 
 

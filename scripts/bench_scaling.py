@@ -84,7 +84,10 @@ def run_once(sf_dir: str, cpus: int, _retry: bool = True) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, env=env, cwd=REPO,
-            timeout=900)
+            # amp1000 at local[2] runs ~30-45 min; the default stays
+            # tight so smaller runs fail fast
+            timeout=int(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT",
+                                       "900")))
         with open(f"/tmp/mdq_bench_c{cpus}.err", "w") as f:
             f.write(out.stderr[-20000:])
         for line in out.stdout.splitlines():

@@ -345,6 +345,25 @@ def test_spelling_suggestion(searcher, oracle):
     assert searcher.suggest("spark") == ""
 
 
+def test_spelling_autobuild_on_build(spark, tmp_path_factory):
+    """VERDICT r03 #6: build_index(spelling=True) publishes the
+    fragment table, so a COLD index answers its first suggest() from
+    the prebuilt bucketed table; removing the pointer falls back to the
+    on-the-fly path with identical answers."""
+    from mdq_spark.spell import _current_table, _meta_path
+    out = str(tmp_path_factory.mktemp("spellidx"))
+    rows = [{**d, "sha256": _sha(d["body"])} for d in DOCS]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    build_index(spark, df, out, block_span=4, n_buckets=8, spelling=True)
+    s = Searcher(spark, out)
+    assert _current_table(s) is not None  # prebuilt and current
+    words = ["spakr", "shufles", "plannr", "spark"]
+    prebuilt = s.batch_suggest(words)
+    os.remove(_meta_path(out))  # force the on-the-fly fallback
+    assert Searcher(spark, out).batch_suggest(words) == prebuilt
+    assert prebuilt["spakr"] == "spark"
+
+
 def test_spelling_fragments_and_distance():
     from mdq_spark.spell import edit_distance, word_fragments
     assert word_fragments("fish") == ["Hfi", "Tsh", "Bfh", "Mfis", "Mish"]

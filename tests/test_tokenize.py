@@ -185,3 +185,24 @@ def test_hypothesis_fastpath_equivalence():
         assert list(chunk_tokens(s)) == [t.term for t in parse_terms(s)]
 
     check()
+
+
+def test_cjk_default_behavior_pinned():
+    """CJK handling is DOCUMENTED parity, not an accidental default
+    (VERDICT r03 #8): the reference never sets FLAG_CJK_NGRAM (nor the
+    XAPIAN_CJK_NGRAM env var — xapian_utils.rs:584-591 lists its flag
+    set), so Xapian's DEFAULT applies: CJK codepoints are word chars
+    (category Lo) and an unbroken CJK run is ONE term.  We reproduce
+    exactly that; the 2-gram splitting of termgenerator_internal.cc's
+    CJK branch is reachable only behind the flag and is out of scope
+    (SURVEY.md §7 descope list — target corpus is source code)."""
+    from mdq_spark.tokenize import index_text, parse_terms
+    toks = [t.term for t in parse_terms("日本語のテスト 漢字kanji混在")]
+    assert toks == ["日本語のテスト", "漢字kanji混在"]  # no 2-gram split
+    rows, pos = index_text("中文 分词 测试")
+    # dual emission still applies: Lo is stemmable-category, and the
+    # Snowball English stemmer is identity on non-Latin input
+    assert rows == [("中文", 1, 1), ("Z中文", None, 1),
+                    ("分词", 2, 1), ("Z分词", None, 1),
+                    ("测试", 3, 1), ("Z测试", None, 1)]
+    assert pos == 3
