@@ -603,48 +603,71 @@ class Searcher:
         """One pruned dict scan for all exact terms + prefix patterns.
         Returns {'exact': {term: row}, 'expansions': {pattern: [terms]}}.
 
-        Exact-only lookups collect directly (row count bounded by the
-        query's term count × generations).  As soon as a prefix pattern
-        is involved, the WHOLE lookup — gen aggregation, delta folding,
-        and the ``wildcard_limit`` most-frequent cap — runs
-        distributed-side, so the driver receives at most
-        ``len(terms) + wildcard_limit × len(patterns)`` rows no matter
-        how many dictionary terms a hot one-char prefix matches
-        (ADVICE r03 medium: the previous code collected the full
-        expansion and only then truncated)."""
+        The driver never receives more than ``len(terms) +
+        wildcard_limit × len(patterns)`` rows (ADVICE r03 medium: the
+        previous code collected the full expansion and only then
+        truncated).  Adaptive two-phase: the common case collects the
+        pruned scan under a LIMIT of exactly that bound (CollectLimit —
+        no shuffle, early-stops; same latency as a plain collect) and,
+        when the limit is NOT hit, the result set is complete and the
+        old driver-side aggregation applies.  Only when a genuinely hot
+        prefix overflows the bound does the lookup escalate to a fully
+        distributed pass where gen aggregation, delta folding, and the
+        most-frequent cap all run scan-side."""
         scan = self._dict_scan(terms, patterns)
         if scan is None:
             return {"exact": {}, "expansions": {}, "all": {}}
-        if not patterns:
-            # a term may have several dict rows (one per upsert
-            # generation): aggregate, then apply tombstone deltas so
-            # df/cf stay exact
+        cap = self.wildcard_limit
+        if patterns and cap:
+            margin = len(terms) + cap * len(patterns) + 1
+            raw = scan.limit(margin).collect()
+            if len(raw) >= margin:
+                return self._dict_lookup_distributed(
+                    scan, terms, patterns)
+        else:
+            # exact-only, or explicit unlimited expansion
             raw = scan.collect()
-            self._last_dict_rows_collected = len(raw)
-            agg: dict = {}
-            for r in raw:
-                d = agg.setdefault(r["term"], {"term": r["term"], "df": 0,
-                                               "cf": 0, "wdf_max": 0,
-                                               "bucket": r["bucket"]})
-                d["df"] += int(r["df"])
-                d["cf"] += int(r["cf"])
-                d["wdf_max"] = max(d["wdf_max"], int(r["wdf_max"]))
-            if self.dict_delta is not None and agg:
-                dcond = F.col("term").isin(list(agg))
-                for r in self.dict_delta.filter(dcond) \
-                        .groupBy("term").agg(F.sum("ddf").alias("ddf"),
-                                             F.sum("dcf").alias("dcf")) \
-                        .collect():
-                    if r["term"] in agg:
-                        agg[r["term"]]["df"] += int(r["ddf"])
-                        agg[r["term"]]["cf"] += int(r["dcf"])
-            agg = {t: d for t, d in agg.items() if d["df"] > 0}
-            return {"exact": dict(agg), "expansions": {}, "all": agg}
+        self._last_dict_rows_collected = len(raw)
+        # a term may have several dict rows (one per upsert
+        # generation): aggregate, then apply tombstone deltas so
+        # df/cf stay exact
+        agg: dict = {}
+        for r in raw:
+            d = agg.setdefault(r["term"], {"term": r["term"], "df": 0,
+                                           "cf": 0, "wdf_max": 0,
+                                           "bucket": r["bucket"]})
+            d["df"] += int(r["df"])
+            d["cf"] += int(r["cf"])
+            d["wdf_max"] = max(d["wdf_max"], int(r["wdf_max"]))
+        if self.dict_delta is not None and agg:
+            dcond = F.col("term").isin(list(agg))
+            for r in self.dict_delta.filter(dcond) \
+                    .groupBy("term").agg(F.sum("ddf").alias("ddf"),
+                                         F.sum("dcf").alias("dcf")) \
+                    .collect():
+                if r["term"] in agg:
+                    agg[r["term"]]["df"] += int(r["ddf"])
+                    agg[r["term"]]["cf"] += int(r["dcf"])
+        agg = {t: d for t, d in agg.items() if d["df"] > 0}
+        tset = set(terms)
+        exact = {t: d for t, d in agg.items() if t in tset}
+        expansions: dict = {}
+        for p in patterns:
+            exp = sorted(t for t in agg if t.startswith(p))
+            if cap and len(exp) > cap:
+                exp = sorted(sorted(exp, key=lambda t: (-agg[t]["df"],
+                                                        t))[:cap])
+            expansions[p] = exp
+        return {"exact": exact, "expansions": expansions, "all": agg}
 
-        # distributed path: tag each dict row with every lookup it
-        # serves ('' = exact, or the matching pattern), aggregate gens,
-        # fold deltas, and cap each pattern's expansion to the
-        # ``wildcard_limit`` highest-df terms — all before collect
+    def _dict_lookup_distributed(self, scan: DataFrame,
+                                 terms: list[str],
+                                 patterns: list[str]) -> dict:
+        """Escalation path for hot prefixes: tag each dict row with
+        every lookup it serves ('' = exact, or the matching pattern),
+        aggregate gens, fold deltas, and cap each pattern's expansion
+        to the ``wildcard_limit`` highest-df terms — all before the
+        (bounded) collect."""
         from pyspark.sql import Window
         tag_whens = []
         if terms:
