@@ -222,6 +222,12 @@ def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS,
     batch — one pass per partition, no per-group task overhead (the
     scalable replacement for a per-group applyInPandas).
 
+    (Round-4 A/B note: replacing the JVM ``sortWithinPartitions`` with
+    a kernel-side ``np.lexsort`` + ``Table.take`` was measured SLOWER
+    at amp1000/local[8] — 380 s vs 225-264 s — because the take must
+    gather the fat position-blob column row-by-row; the streaming
+    sorted-input design stays.)
+
     The ``bucket`` column is NOT shuffled (VERDICT r02 #6: it is
     derivable from the term) — it is recomputed here per GROUP, one
     crc32 per (term, block) run instead of 8 bytes per posting row on
@@ -603,6 +609,18 @@ class IndexBuilder:
         if force or not _stage_done(p_post):
             t0 = time.time()
             lf = bm25.len_factor(float(gstats["avg_doclen"] or 0.0))
+            if dict_stats is None:
+                # resuming past a completed dict stage: reload its
+                # aggregates so the tid-encode gate and the inversion
+                # partition sizing see the real vocabulary/posting
+                # counts (one tiny scan of the dict parquet)
+                dict_stats = (self.spark.read.parquet(p_dict)
+                              .filter(F.col("gen") == 0).agg(
+                                  F.sum("df").alias("n_postings"),
+                                  F.max("df").alias("max_df"),
+                                  F.avg("df").alias("avg_df"),
+                                  F.count("term").alias("n_terms"))
+                              .collect()[0].asDict())
             # bucket is dropped from the inversion shuffle (derivable
             # from the term — recomputed per group in the kernel), and
             # when the vocabulary fits a broadcast the term string is
@@ -615,6 +633,18 @@ class IndexBuilder:
                 if dict_stats is not None else 0
             n_post = int(dict_stats.get("n_postings") or 0) \
                 if dict_stats is not None else 0
+            # size the inversion shuffle by DATA VOLUME, not core
+            # count: spark.sql.shuffle.partitions tracks parallelism,
+            # but this shuffle moves ~9 B/posting (measured, zstd+tid)
+            # and a partition should hold ~128 MB — at 355M postings on
+            # 2 cores the default would sort 1.7 GB per task (external
+            # spill), and oversized tasks turn one straggler into a
+            # long tail.  More, smaller partitions cost nothing (they
+            # queue on the same cores) and amortize both.
+            par = max(self.spark.sparkContext.defaultParallelism, 1)
+            part_mb = int(os.environ.get("MDQ_INV_PART_MB", "128"))
+            n_inv = max(par, min(10000,
+                                 n_post * 9 // (part_mb << 20) + 1))
             tid_b = None
             # tid encoding pays per shuffled ROW and costs a fixed
             # vocab collect + broadcast — skip it for small corpora
@@ -632,10 +662,10 @@ class IndexBuilder:
                     "tid": np.arange(len(term_list), dtype="int32")}))
                 src = (src.join(F.broadcast(tid_df), "term")
                        .drop("term")
-                       .repartition("tid", "block")
+                       .repartition(n_inv, "tid", "block")
                        .sortWithinPartitions("tid", "block", "doc_id"))
             else:
-                src = (src.repartition("term", "block")
+                src = (src.repartition(n_inv, "term", "block")
                        .sortWithinPartitions("term", "block", "doc_id"))
             (src.mapInArrow(
                 _encode_runs(lf, self.n_buckets, tid_terms=tid_b),

@@ -1294,6 +1294,14 @@ class Searcher:
             kept_df = per_block.filter(F.col("ub") >= theta) \
                 .select("block")
             n_kept = kept_df.count()
+            # observability (scripts/prune_stats.py): how much of the
+            # candidate volume the bound sweep eliminated
+            self._last_prune_stats = {
+                "n_blocks": n_blocks, "seed": len(seed),
+                "kept": n_kept,
+                "docs_ub": int(totals["docs_ub"] or 0),
+                "theta": float(theta),
+            }
             if n_kept >= n_blocks:
                 return None
             final_ctx = dict(ctx)
