@@ -265,6 +265,23 @@ def test_blockmax_prune_semijoin_path(spark, index, q):
            [(r["doc_id"], round(r["score"], 9)) for r in pruned]
 
 
+def test_prune_stats_recorded(spark, index):
+    """The bound sweep records its effectiveness (n_blocks / seed /
+    kept / docs_ub) for observability — scripts/prune_stats.py and
+    prune_demo.py read this after a forced-prune run."""
+    s = Searcher(spark, index[0])
+    # k=1 so the seed pass covers k with one block and the sweep
+    # actually reaches the kept-set decision on the 3-block fixture
+    s.query_df("spark ", k=1, prune="always").collect()
+    st = getattr(s, "_last_prune_stats", None)
+    assert st is not None
+    assert st["n_blocks"] >= 1
+    assert 1 <= st["seed"] <= st["n_blocks"]
+    assert 0 <= st["kept"] <= st["n_blocks"]
+    assert st["docs_ub"] >= 1
+    assert st["theta"] > 0
+
+
 def test_wildcard_collect_bounded(spark, index, searcher):
     """ADVICE r03 (medium): the wildcard_limit cap is applied inside
     the distributed scan — the driver never collects more than
