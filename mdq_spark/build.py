@@ -633,18 +633,23 @@ class IndexBuilder:
                 if dict_stats is not None else 0
             n_post = int(dict_stats.get("n_postings") or 0) \
                 if dict_stats is not None else 0
-            # size the inversion shuffle by DATA VOLUME, not core
-            # count: spark.sql.shuffle.partitions tracks parallelism,
-            # but this shuffle moves ~9 B/posting (measured, zstd+tid)
-            # and a partition should hold ~128 MB — at 355M postings on
-            # 2 cores the default would sort 1.7 GB per task (external
-            # spill), and oversized tasks turn one straggler into a
-            # long tail.  More, smaller partitions cost nothing (they
-            # queue on the same cores) and amortize both.
-            par = max(self.spark.sparkContext.defaultParallelism, 1)
+            # size the inversion shuffle by DATA VOLUME when the
+            # default is too coarse: spark.sql.shuffle.partitions
+            # tracks parallelism, but this shuffle moves ~9 B/posting
+            # (measured, zstd+tid) and a sort partition should hold
+            # ~128 MB — at 355M postings on 2 cores the default sorted
+            # 1.7 GB per task (deep external-sort spill: postings wall
+            # 646 s -> 474 s with this fix).  Only force an EXPLICIT
+            # count when it exceeds the configured default: an explicit
+            # numPartitions disables AQE partition coalescing, which
+            # costs 3-4x on small corpora (measured at sf0.1/local[32]:
+            # 2.4-6.4 s implicit vs 8.7-11.6 s forced-32).
             part_mb = int(os.environ.get("MDQ_INV_PART_MB", "128"))
-            n_inv = max(par, min(10000,
-                                 n_post * 9 // (part_mb << 20) + 1))
+            sp_default = int(self.spark.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+            n_by_bytes = n_post * 9 // (part_mb << 20) + 1
+            n_inv = min(10000, n_by_bytes) \
+                if n_by_bytes > sp_default else None
             tid_b = None
             # tid encoding pays per shuffled ROW and costs a fixed
             # vocab collect + broadcast — skip it for small corpora
@@ -662,10 +667,12 @@ class IndexBuilder:
                     "tid": np.arange(len(term_list), dtype="int32")}))
                 src = (src.join(F.broadcast(tid_df), "term")
                        .drop("term")
-                       .repartition(n_inv, "tid", "block")
+                       .repartition(*([n_inv] if n_inv else []),
+                                    "tid", "block")
                        .sortWithinPartitions("tid", "block", "doc_id"))
             else:
-                src = (src.repartition(n_inv, "term", "block")
+                src = (src.repartition(*([n_inv] if n_inv else []),
+                                       "term", "block")
                        .sortWithinPartitions("term", "block", "doc_id"))
             (src.mapInArrow(
                 _encode_runs(lf, self.n_buckets, tid_terms=tid_b),
