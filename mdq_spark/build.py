@@ -30,6 +30,14 @@ repartition the north rule asks for, with the salt chosen so that the
 final posting runs are already docid-sorted and disjoint: no sorted-merge
 pass is needed afterwards, and no Python worker ever materializes more
 than ``block_span`` postings of one term.
+
+Inversion is TWO-PHASE since round 5 (``invert_postings``): partitions
+of the tokenize staging cover disjoint contiguous doc-id ranges, so each
+is sorted in place (no exchange) and encoded into *partial* posting
+blocks map-side; the shuffle then moves one already-encoded row per
+(term, block, staging-split) — run-length× fewer rows than postings —
+and the reduce concatenates each group's disjoint runs with a one-varint
+bridge patch instead of re-sorting a row per posting.
 """
 
 from __future__ import annotations
@@ -214,13 +222,23 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
     return fn
 
 
-def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS,
-                 tid_terms=None):
+def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS):
     """mapInArrow kernel over partitions sorted by (term, block,
     doc_id): encodes every contiguous (term, block) run.  Arrow batches
     can split a run, so an unfinished tail is carried into the next
     batch — one pass per partition, no per-group task overhead (the
     scalable replacement for a per-group applyInPandas).
+
+    Since round 5 this runs MAP-SIDE, before any shuffle (VERDICT r04
+    #1): each tokenize-staging partition covers a contiguous, disjoint
+    doc-id range (ingest assigns ids by range partition and the staging
+    files inherit that clustering; parquet splits are contiguous row
+    groups), so the runs it encodes are *partial* posting blocks —
+    already docid-sorted and disjoint from every other partition's runs
+    for the same (term, block).  The shuffle then moves one row per
+    (term, block, staging-split) instead of one row per posting, and
+    the reduce (``_merge_partial_runs``) concatenates disjoint byte
+    runs instead of re-sorting hundreds of millions of rows.
 
     (Round-4 A/B note: replacing the JVM ``sortWithinPartitions`` with
     a kernel-side ``np.lexsort`` + ``Table.take`` was measured SLOWER
@@ -232,13 +250,6 @@ def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS,
     derivable from the term) — it is recomputed here per GROUP, one
     crc32 per (term, block) run instead of 8 bytes per posting row on
     the wire.
-
-    ``tid_terms``: when set (a broadcast of the sorted term list), the
-    input rows carry an integer ``tid`` instead of the term string
-    (adaptive dictionary encoding of the shuffle — used only when the
-    vocabulary fits a broadcast; at 10^12-file vocabularies the build
-    falls back to strings).  The term string is reconstructed here per
-    GROUP from the broadcast.
 
     Fully vectorized — per-ROW Python is gone from the build hot path:
 
@@ -300,14 +311,8 @@ def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS,
 
         sidx = pa.array(gstarts)
         counts = (gends - gstarts).astype(np.int32)
-        if tid_terms is not None:
-            tl = tid_terms.value
-            names = [tl[int(t)] for t in
-                     tbl.column("tid").to_numpy()[gstarts]]
-            gterms = pa.array(names, pa.string())
-        else:
-            gterms = tbl.column("term").combine_chunks().take(sidx)
-            names = gterms.to_pylist()
+        gterms = tbl.column("term").combine_chunks().take(sidx)
+        names = gterms.to_pylist()
         buckets = pa.array(
             [term_bucket(t, n_buckets) for t in names], pa.int32())
         return pa.record_batch([
@@ -339,11 +344,8 @@ def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS,
             n = tbl.num_rows
             if n == 0:
                 continue
-            if tid_terms is not None:
-                codes = tbl.column("tid").to_numpy()
-            else:
-                codes = pc.dictionary_encode(
-                    tbl.column("term").combine_chunks()).indices.to_numpy()
+            codes = pc.dictionary_encode(
+                tbl.column("term").combine_chunks()).indices.to_numpy()
             blocks = tbl.column("block").to_numpy()
             bnd = np.flatnonzero((codes[1:] != codes[:-1])
                                  | (blocks[1:] != blocks[:-1]))
@@ -359,6 +361,192 @@ def _encode_runs(lf: float, n_buckets: int = DEFAULT_N_BUCKETS,
                 np.array([leftover.num_rows]))
 
     return fn
+
+
+def _merge_partial_runs():
+    """mapInArrow kernel over partitions sorted by (term, block,
+    first_doc): folds the map-side partial runs of each (term, block)
+    group into one posting block row.
+
+    The partials of one group come from distinct staging splits, each
+    covering a disjoint contiguous doc-id range — so sorted by
+    first_doc they are disjoint, ordered, already-encoded byte runs and
+    the merge is CONCATENATION: wdf/doclen/position buffers join as-is,
+    and only the first doc-gap varint of each non-leading run (stored
+    as the absolute first_doc) is re-encoded as the bridge gap from the
+    previous run's last_doc.  Maxima/minima combine with max/min (both
+    sides are exact over their docs).  No decode, no row sort — this is
+    what replaces the 0.56-efficiency reduce-side sort of one row per
+    posting (VERDICT r04 #1).
+
+    Single-partial groups (the common case once splits are large) are
+    emitted with one vectorized ``Table.take`` per batch — no per-group
+    Python for them.  Should two partials of a group ever OVERLAP in
+    doc range (impossible from the build/upsert pipelines, which only
+    feed doc-range-disjoint splits), the group's rows pass through
+    unmerged — the query kernels already merge multiple rows per
+    (term, block) correctly (they handle gen-interleaved upsert runs
+    the same way), so correctness never depends on the disjointness
+    invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = [f.name for f in POSTINGS_SCHEMA.fields]
+    # one pinned Arrow schema for BOTH output paths: the take-based
+    # pass-through would otherwise inherit the input batch schema,
+    # which need not byte-match the Python-built batches' (Arrow IPC
+    # rejects a writer receiving two different schemas)
+    out_schema = pa.schema([
+        ("term", pa.string()), ("bucket", pa.int32()),
+        ("block", pa.int64()), ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()), ("n", pa.int32()),
+        ("doc_gaps", pa.binary()), ("wdfs", pa.binary()),
+        ("doclens", pa.binary()), ("positions", pa.binary()),
+        ("block_max_wdf", pa.int32()), ("block_max_part", pa.float64()),
+        ("block_min_doclen", pa.int32()),
+    ])
+
+    def take_batch(tbl, idx):
+        return (tbl.select(names).take(pa.array(idx))
+                .cast(out_schema).combine_chunks().to_batches()[0])
+
+    def bin_view(tbl, col):
+        arr = tbl.column(col).combine_chunks()
+        raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        off = raw_off[arr.offset:arr.offset + len(arr) + 1]
+        buf = arr.buffers()[2]
+        data = np.frombuffer(buf, dtype=np.uint8) if buf is not None \
+            else np.empty(0, dtype=np.uint8)
+        return off, data
+
+    def merge_table(tbl: pa.Table, gstarts: np.ndarray,
+                    gends: np.ndarray):
+        sizes = gends - gstarts
+        single = sizes == 1
+        out_batches = []
+        if single.any():
+            out_batches.append(take_batch(tbl, gstarts[single]))
+        multi = np.flatnonzero(~single)
+        if len(multi) == 0:
+            return out_batches
+        firsts = tbl.column("first_doc").to_numpy()
+        lasts = tbl.column("last_doc").to_numpy()
+        ns = tbl.column("n").to_numpy()
+        mw = tbl.column("block_max_wdf").to_numpy()
+        mp = tbl.column("block_max_part").to_numpy()
+        md = tbl.column("block_min_doclen").to_numpy()
+        og, dg = bin_view(tbl, "doc_gaps")
+        ow, dw = bin_view(tbl, "wdfs")
+        od, dd = bin_view(tbl, "doclens")
+        parr = tbl.column("positions").combine_chunks()
+        pnull = pc.is_null(parr).to_numpy(zero_copy_only=False)
+        opp, dp = bin_view(tbl, "positions")
+        terms = tbl.column("term").combine_chunks()
+        buckets = tbl.column("bucket").to_numpy()
+        blocks = tbl.column("block").to_numpy()
+
+        cols: dict = {k: [] for k in names}
+        passthrough: list = []
+        for gi in multi:
+            s, e = int(gstarts[gi]), int(gends[gi])
+            if not (firsts[s + 1:e] > lasts[s:e - 1]).all():
+                passthrough.extend(range(s, e))  # overlap: keep rows
+                continue
+            gaps = bytearray(dg[og[s]:og[s + 1]].tobytes())
+            for i in range(s + 1, e):
+                b = dg[og[i]:og[i + 1]]
+                j = 0
+                while b[j] & 0x80:
+                    j += 1
+                gaps += _varint(int(firsts[i]) - int(lasts[i - 1]) - 1)
+                gaps += b[j + 1:].tobytes()
+            if pnull[s:e].all():
+                pos = None
+            else:
+                pos = b"".join(
+                    b"\x00" * int(ns[i]) if pnull[i]
+                    else dp[opp[i]:opp[i + 1]].tobytes()
+                    for i in range(s, e))
+            cols["term"].append(terms[s].as_py())
+            cols["bucket"].append(int(buckets[s]))
+            cols["block"].append(int(blocks[s]))
+            cols["first_doc"].append(int(firsts[s]))
+            cols["last_doc"].append(int(lasts[e - 1]))
+            cols["n"].append(int(ns[s:e].sum()))
+            cols["doc_gaps"].append(bytes(gaps))
+            cols["wdfs"].append(dw[ow[s]:ow[e]].tobytes())
+            cols["doclens"].append(dd[od[s]:od[e]].tobytes())
+            cols["positions"].append(pos)
+            cols["block_max_wdf"].append(int(mw[s:e].max()))
+            cols["block_max_part"].append(float(mp[s:e].max()))
+            cols["block_min_doclen"].append(int(md[s:e].min()))
+        if passthrough:
+            out_batches.append(take_batch(tbl, passthrough))
+        if cols["term"]:
+            out_batches.append(pa.record_batch(
+                [pa.array(cols[f.name], f.type)
+                 for f in out_schema], schema=out_schema))
+        return out_batches
+
+    def fn(batches) -> "Iterator[pa.RecordBatch]":
+        leftover: Optional[pa.Table] = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if leftover is not None:
+                tbl = pa.concat_tables([leftover, tbl]).combine_chunks()
+                leftover = None
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            codes = pc.dictionary_encode(
+                tbl.column("term").combine_chunks()).indices.to_numpy()
+            blocks = tbl.column("block").to_numpy()
+            bnd = np.flatnonzero((codes[1:] != codes[:-1])
+                                 | (blocks[1:] != blocks[:-1]))
+            starts = np.concatenate(([0], bnd + 1))
+            leftover = tbl.slice(int(starts[-1]))
+            if len(starts) > 1:
+                yield from merge_table(tbl, starts[:-1], starts[1:])
+        if leftover is not None and leftover.num_rows:
+            leftover = leftover.combine_chunks()
+            yield from merge_table(
+                leftover, np.array([0]),
+                np.array([leftover.num_rows]))
+
+    return fn
+
+
+def invert_postings(src: DataFrame, lf: float,
+                    n_buckets: int = DEFAULT_N_BUCKETS,
+                    num_partitions: Optional[int] = None) -> DataFrame:
+    """Two-phase distributed inversion (VERDICT r04 #1).
+
+    Phase 1 (map, no shuffle): sort each staging partition by (term,
+    block, doc_id) in place and encode its contiguous runs into
+    *partial* posting blocks — valid because staging partitions cover
+    disjoint contiguous doc-id ranges (see ``_encode_runs``).
+
+    Phase 2 (reduce): shuffle the partial rows — one per (term, block,
+    staging-split), i.e. ~run-length× fewer rows than postings, with
+    the payload already delta+varint encoded — and concatenate each
+    group's disjoint runs (``_merge_partial_runs``).  The reduce-side
+    row sort that moved/ordered one row per posting (the 0.56-
+    efficiency, memory-bandwidth-bound stage of rounds 2-4) is gone;
+    the only full-width sort left runs map-side over locally resident
+    rows.
+
+    ``src`` must have columns (term, block, doc_id, wdf, doclen,
+    positions) with each partition spanning a doc-id range disjoint
+    from every other partition's (what the build/upsert staging reads
+    provide)."""
+    partials = (src.sortWithinPartitions("term", "block", "doc_id")
+                .mapInArrow(_encode_runs(lf, n_buckets),
+                            schema=POSTINGS_SCHEMA))
+    args = [num_partitions] if num_partitions else []
+    return (partials.repartition(*args, "term", "block")
+            .sortWithinPartitions("term", "block", "first_doc")
+            .mapInArrow(_merge_partial_runs(), schema=POSTINGS_SCHEMA))
 
 
 def _stage_done(path: str) -> bool:
@@ -397,15 +585,6 @@ def _dir_bytes(path: str) -> int:
 
 class IndexBuilder:
     """Builds (or resumes) an index at ``out_dir`` from a docs DataFrame."""
-
-    # vocabulary cap for dictionary-encoding the inversion shuffle's
-    # term column: above this the term->tid broadcast stops being
-    # cheap and the shuffle carries strings instead (adaptive — a
-    # 10^12-file vocabulary can NOT be broadcast)
-    TID_ENCODE_MAX_TERMS = 4_000_000
-    # below this many postings the tid broadcast's fixed cost exceeds
-    # the per-row wire savings
-    TID_ENCODE_MIN_POSTINGS = 2_000_000
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  block_span: int = DEFAULT_BLOCK_SPAN,
@@ -611,9 +790,9 @@ class IndexBuilder:
             lf = bm25.len_factor(float(gstats["avg_doclen"] or 0.0))
             if dict_stats is None:
                 # resuming past a completed dict stage: reload its
-                # aggregates so the tid-encode gate and the inversion
-                # partition sizing see the real vocabulary/posting
-                # counts (one tiny scan of the dict parquet)
+                # aggregates so the inversion partition sizing and the
+                # manifest metrics see the real posting counts (one
+                # tiny scan of the dict parquet)
                 dict_stats = (self.spark.read.parquet(p_dict)
                               .filter(F.col("gen") == 0).agg(
                                   F.sum("df").alias("n_postings"),
@@ -621,67 +800,27 @@ class IndexBuilder:
                                   F.avg("df").alias("avg_df"),
                                   F.count("term").alias("n_terms"))
                               .collect()[0].asDict())
-            # bucket is dropped from the inversion shuffle (derivable
-            # from the term — recomputed per group in the kernel), and
-            # when the vocabulary fits a broadcast the term string is
-            # replaced by a dense int32 tid on the wire (mapped back
-            # per group in the kernel).  ADAPTIVE: at 10^12-file
-            # vocabularies the broadcast doesn't fit and the build
-            # falls back to strings (VERDICT r02 #6 / ROADMAP).
             src = terms.filter(F.col("gen") == 0).drop("bucket")
-            n_terms = int(dict_stats.get("n_terms") or 0) \
-                if dict_stats is not None else 0
             n_post = int(dict_stats.get("n_postings") or 0) \
                 if dict_stats is not None else 0
-            # size the inversion shuffle by DATA VOLUME when the
-            # default is too coarse: spark.sql.shuffle.partitions
-            # tracks parallelism, but this shuffle moves ~9 B/posting
-            # (measured, zstd+tid) and a sort partition should hold
-            # ~128 MB — at 355M postings on 2 cores the default sorted
-            # 1.7 GB per task (deep external-sort spill: postings wall
-            # 646 s -> 474 s with this fix).  Only force an EXPLICIT
+            # size the partial-run shuffle by DATA VOLUME when the
+            # default is too coarse: the wire carries already-encoded
+            # run payloads (~6 B/posting upper bound) and a reduce
+            # partition should hold ~128 MB.  Only force an EXPLICIT
             # count when it exceeds the configured default: an explicit
             # numPartitions disables AQE partition coalescing, which
-            # costs 3-4x on small corpora (measured at sf0.1/local[32]:
-            # 2.4-6.4 s implicit vs 8.7-11.6 s forced-32).
+            # costs 3-4x on small corpora (measured at sf0.1/local[32]
+            # in r4: 2.4-6.4 s implicit vs 8.7-11.6 s forced-32).
             part_mb = int(os.environ.get("MDQ_INV_PART_MB", "128"))
             sp_default = int(self.spark.conf.get(
                 "spark.sql.shuffle.partitions", "200"))
-            n_by_bytes = n_post * 9 // (part_mb << 20) + 1
+            n_by_bytes = n_post * 6 // (part_mb << 20) + 1
             n_inv = min(10000, n_by_bytes) \
                 if n_by_bytes > sp_default else None
-            tid_b = None
-            # tid encoding pays per shuffled ROW and costs a fixed
-            # vocab collect + broadcast — skip it for small corpora
-            # where the fixed cost dominates
-            if 0 < n_terms <= self.TID_ENCODE_MAX_TERMS \
-                    and n_post >= self.TID_ENCODE_MIN_POSTINGS:
-                import numpy as np
-                import pandas as pd
-                term_list = sorted(
-                    r["term"] for r in self.spark.read.parquet(p_dict)
-                    .filter(F.col("gen") == 0).select("term").collect())
-                tid_b = self.spark.sparkContext.broadcast(term_list)
-                tid_df = self.spark.createDataFrame(pd.DataFrame({
-                    "term": term_list,
-                    "tid": np.arange(len(term_list), dtype="int32")}))
-                src = (src.join(F.broadcast(tid_df), "term")
-                       .drop("term")
-                       .repartition(*([n_inv] if n_inv else []),
-                                    "tid", "block")
-                       .sortWithinPartitions("tid", "block", "doc_id"))
-            else:
-                src = (src.repartition(*([n_inv] if n_inv else []),
-                                       "term", "block")
-                       .sortWithinPartitions("term", "block", "doc_id"))
-            (src.mapInArrow(
-                _encode_runs(lf, self.n_buckets, tid_terms=tid_b),
-                schema=POSTINGS_SCHEMA)
+            (invert_postings(src, lf, self.n_buckets, n_inv)
              .withColumn("gen", F.lit(0))
              .write.mode("overwrite")
              .partitionBy("bucket").parquet(p_post))
-            if tid_b is not None:
-                tid_b.unpersist()
             stages.append({"stage": "postings", "sec": time.time() - t0})
 
         # metrics + manifest (lineage per north rule); the dict

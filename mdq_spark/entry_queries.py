@@ -508,6 +508,19 @@ XQ_QUERIES = {
     "xq_phrase": '"the fast" ',
     "xq_boolean": "sort AND NOT merge",
     "xq_and_maybe": "sort AND MAYBE merge",
+    # round 5 (VERDICT r04 #4): the full operator algebra in Xapian
+    # mode, end-to-end against the plan->SQL compiler — these shapes
+    # were previously pytest-only (tests/test_xq_oracle.py wider
+    # battery); now the driver gate exercises them too
+    "xq_near": "sort NEAR merge",
+    "xq_filter": "sort FILTER merge",
+    "xq_xor": "sort XOR merge",
+    "xq_scaled": "fast SCALED 2",
+    "xq_wildcard": "sor* merge",
+    "xq_elite": "sort ELITE merge",
+    "xq_pure_not": "NOT sort AND fast",
+    "xq_phrase3": '"the fast slow" ',
+    "xq_phrase_bool": '"the fast" AND NOT slow',
 }
 
 
@@ -826,11 +839,19 @@ def oracle_sql() -> dict[str, str]:
     o["ft_spelling"] = _spelling_sql(SPELL_WORDS)
 
     # Xapian-mode chain (VERDICT r03 #1): the term-rows export is pure
-    # Python (no Spark), so generate it here for the standard testdata
-    # scales — the oracle SQL then works regardless of whether the
-    # Spark side of an entry has run yet
+    # Python (no Spark), so generate it here — the oracle SQL then
+    # works regardless of whether the Spark side of an entry has run
+    # yet.  The dir list comes from MDQ_XQ_SF_DIRS when set (ADVICE
+    # r04: no hardcoded literals as the only path), defaulting to the
+    # correctness-gate scales; at any OTHER scale the Spark side heals
+    # via its own ensure_termrows(sf_dir), and if the oracle runs
+    # first anyway its SQL now fails loudly (xq_oracle_sql guard)
+    # instead of silently returning zero rows.
     from .xq_oracle import ensure_termrows, xq_oracle_sql
-    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    env_dirs = os.environ.get("MDQ_XQ_SF_DIRS", "")
+    sf_dirs = [d for d in env_dirs.split(":") if d] or \
+        ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    for d in sf_dirs:
         try:
             ensure_termrows(d)
         except OSError:

@@ -95,221 +95,112 @@ def _decode_kernel(with_positions: bool):
     return fn
 
 
-def _merge_kernel(groups: list, distinct: list, op: Optional[str],
-                  window: int, lf: float):
-    """Arrow kernel for the block-local merge path: input rows are the
-    ENCODED (term, block) postings of one repartition("block") stream,
-    sorted by block within the partition.  Per block: decode each term's
-    run(s), numpy-intersect the per-child doc-id unions (a child is a
-    Term or an OR-of-Terms, e.g. the parser's ``term OR Zstem`` pair),
-    score with the per-(term, child) BM25 sumparts, and (PHRASE/NEAR)
-    apply the position-window check fully vectorized over
-    (doc, position) int64 keys — no per-row Python anywhere
-    (VERDICT r01 #2).
+_POS_SHIFT = 32  # packed positional keys: (survivor_tag << 32) | position
+
+
+def _survivor_keys(runs, perm, idx):
+    """(survivor_tag << 32 | position) keys for the survivor rows
+    ``idx`` (indices into the term's sorted order; idx[j] is survivor
+    doc j) — positions are decoded ONLY here, after the boolean/AND
+    intersection, and only at survivor indices (VERDICT r02 #3).  One
+    vectorized pass per run: whole-blob varint decode, boundaries =
+    cumsum(1 + wdf) (count == wdf by the tokenizer's blob layout,
+    verified with a sequential fallback), then a repeat/gather +
+    segmented cumsum — no per-doc array materialization for
+    non-survivors."""
+    import numpy as np
+    SHIFT = np.int64(_POS_SHIFT)
+    orig = perm[idx] if perm is not None else idx
+    order2 = np.argsort(orig, kind="stable")
+    sorted_orig = orig[order2]
+    starts = np.zeros(len(runs) + 1, dtype=np.int64)
+    np.cumsum([n for _, n, _ in runs], out=starts[1:])
+    parts = []
+    for ri, (blob, n, wdf_run) in enumerate(runs):
+        a, b2 = np.searchsorted(sorted_orig, [starts[ri],
+                                              starts[ri + 1]])
+        if a == b2 or blob is None:
+            continue
+        local = (sorted_orig[a:b2] - starts[ri]).astype(np.int64)
+        vals = varint_decode(blob).astype(np.int64)
+        bnds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(wdf_run + 1, out=bnds[1:])
+        # per-doc check, not just the total: offsetting count!=wdf
+        # mismatches could make the totals coincide and silently
+        # decode wrong positions (ADVICE r03) — every stored count
+        # varint must equal that doc's wdf
+        if bnds[-1] != len(vals) or \
+                not (vals[bnds[:-1]] == wdf_run).all():
+            # count != wdf for this run: walk the counts instead
+            bnds[0] = 0
+            for k in range(n):
+                bnds[k + 1] = bnds[k] + int(vals[bnds[k]]) + 1
+        cnts = vals[bnds[local]]
+        total = int(cnts.sum())
+        if total == 0:
+            continue
+        seg_off = np.zeros(len(cnts), dtype=np.int64)
+        np.cumsum(cnts[:-1], out=seg_off[1:])
+        gather = (np.repeat(bnds[local] + 1, cnts)
+                  + np.arange(total) - np.repeat(seg_off, cnts))
+        g = vals[gather] + 1  # gap-1 encoding: +1 everywhere,
+        g[seg_off] -= 1       # first value of a doc is absolute
+        cs = np.cumsum(g)
+        prev = np.repeat(cs[seg_off] - g[seg_off], cnts)
+        pos = cs - prev
+        tags = np.repeat(order2[a:b2].astype(np.int64), cnts)
+        parts.append(pos + (tags << SHIFT))
+    if not parts:
+        return None
+    # fast path: one run, no reorder -> tags (and so keys) are
+    # already ascending; otherwise sort the packed keys
+    if len(parts) == 1 and perm is None:
+        return parts[0]
+    return np.sort(np.concatenate(parts))
+
+
+def _window_hits(op: str, window: int, order_terms: list,
+                 mult: dict, keys: dict):
+    """PHRASE / NEAR window check over packed survivor keys; returns
+    the survivor tags with a hit, or None.
 
     PHRASE (greedy-minimal chain): for every start position of child 1,
     np.searchsorted finds the minimal strictly-later position of each
     next child; the minimal chain minimizes the final span, so checking
     span < window on it is exact (oracle._phrase_hit semantics).
 
-    NEAR (count-window): a valid pick of one distinct position per child
-    with span < window exists iff some window [p, p+window) anchored at
-    an occurring position contains >= multiplicity(t) positions of every
-    term t — distinct terms never share a position (one token per
-    position) and one term's positions are strictly increasing, so
-    counts are exactly selectable (oracle._near_hit semantics).
-
-    ``groups``: list (one per AND/positional child) of members
-    ``("term", [t], tw)`` or ``("syn", [t...], tw)`` — a synonym member
-    (wildcard expansion) scores as ONE term whose wdf is the sum over
-    its constituent terms (OP_SYNONYM semantics).
-    """
+    NEAR (count-window): a valid pick of one distinct position per
+    child with span < window exists iff some window [p, p+window)
+    anchored at an occurring position contains >= multiplicity(t)
+    positions of every term t — distinct terms never share a position
+    (one token per position) and one term's positions are strictly
+    increasing, so counts are exactly selectable (oracle._near_hit
+    semantics)."""
     import numpy as np
-
-    order_terms = [g[0][1][0] for g in groups]  # positional: singletons
-    mult: dict = {}
-    for t in order_terms:
-        mult[t] = mult.get(t, 0) + 1
-    need_pos = op in ("PHRASE", "NEAR")
-    SHIFT = np.int64(32)
-
-    def survivor_keys(runs, perm, idx) -> Optional[np.ndarray]:
-        """(doc_tag << 32 | position) keys for the survivor rows ``idx``
-        (indices into the term's sorted order; idx[j] is common doc j) —
-        positions are decoded ONLY here, after the AND intersection, and
-        only at survivor indices (VERDICT r02 #3).  One vectorized pass
-        per run: whole-blob varint decode, boundaries = cumsum(1 + wdf)
-        (count == wdf by the tokenizer's blob layout, verified with a
-        sequential fallback), then a repeat/gather + segmented cumsum —
-        no per-doc array materialization for non-survivors."""
-        orig = perm[idx] if perm is not None else idx
-        order2 = np.argsort(orig, kind="stable")
-        sorted_orig = orig[order2]
-        starts = np.zeros(len(runs) + 1, dtype=np.int64)
-        np.cumsum([n for _, n, _ in runs], out=starts[1:])
-        parts = []
-        for ri, (blob, n, wdf_run) in enumerate(runs):
-            a, b2 = np.searchsorted(sorted_orig, [starts[ri],
-                                                  starts[ri + 1]])
-            if a == b2 or blob is None:
-                continue
-            local = (sorted_orig[a:b2] - starts[ri]).astype(np.int64)
-            vals = varint_decode(blob).astype(np.int64)
-            bnds = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(wdf_run + 1, out=bnds[1:])
-            # per-doc check, not just the total: offsetting count!=wdf
-            # mismatches could make the totals coincide and silently
-            # decode wrong positions (ADVICE r03) — every stored count
-            # varint must equal that doc's wdf
-            if bnds[-1] != len(vals) or \
-                    not (vals[bnds[:-1]] == wdf_run).all():
-                # count != wdf for this run: walk the counts instead
-                bnds[0] = 0
-                for k in range(n):
-                    bnds[k + 1] = bnds[k] + int(vals[bnds[k]]) + 1
-            cnts = vals[bnds[local]]
-            total = int(cnts.sum())
-            if total == 0:
-                continue
-            seg_off = np.zeros(len(cnts), dtype=np.int64)
-            np.cumsum(cnts[:-1], out=seg_off[1:])
-            gather = (np.repeat(bnds[local] + 1, cnts)
-                      + np.arange(total) - np.repeat(seg_off, cnts))
-            g = vals[gather] + 1  # gap-1 encoding: +1 everywhere,
-            g[seg_off] -= 1       # first value of a doc is absolute
-            cs = np.cumsum(g)
-            prev = np.repeat(cs[seg_off] - g[seg_off], cnts)
-            pos = cs - prev
-            tags = np.repeat(order2[a:b2].astype(np.int64), cnts)
-            parts.append(pos + (tags << SHIFT))
-        if not parts:
-            return None
-        # fast path: one run, no reorder -> tags (and so keys) are
-        # already ascending; otherwise sort the packed keys
-        if len(parts) == 1 and perm is None:
-            return parts[0]
-        return np.sort(np.concatenate(parts))
-
-    def one_block(rows: list) -> Optional[pd.DataFrame]:
-        by_term: dict = {}
-        for r in rows:
-            by_term.setdefault(r["term"], []).append(r)
-        per_term: dict = {}
-        for t in distinct:
-            rl = by_term.get(t)
-            if not rl:
-                continue  # term absent from this block
-            ids_l, wdf_l, dl_l, runs = [], [], [], []
-            for r in rl:
-                n = int(r["n"])
-                ids_l.append(decode_doc_gaps(r["doc_gaps"], n)
-                             .astype("int64"))
-                wdf_l.append(varint_decode(r["wdfs"], n).astype("int64"))
-                dl_l.append(varint_decode(r["doclens"], n).astype("int64"))
-                if need_pos:
-                    # raw blob kept; decoded lazily for survivors only
-                    runs.append((r["positions"], n, wdf_l[-1]))
-            ids = np.concatenate(ids_l)
-            wdfs = np.concatenate(wdf_l)
-            dls = np.concatenate(dl_l)
-            perm = None
-            if len(ids_l) > 1:  # upsert appends can interleave id ranges
-                perm = np.argsort(ids, kind="stable")
-                ids, wdfs, dls = ids[perm], wdfs[perm], dls[perm]
-            per_term[t] = (ids, wdfs, dls, (runs, perm))
-
-        common = None
-        for g in groups:
-            avail = [per_term[t][0] for _, ts, _ in g for t in ts
-                     if t in per_term]
-            if not avail:
-                return None  # AND semantics: child absent from block
-            union = avail[0] if len(avail) == 1 else \
-                np.unique(np.concatenate(avail))
-            common = union if common is None else \
-                np.intersect1d(common, union, assume_unique=True)
-            if common.size == 0:
+    SHIFT = np.int64(_POS_SHIFT)
+    if op == "PHRASE":
+        cur = keys[order_terms[0]]
+        first = cur
+        for t in order_terms[1:]:
+            kt = keys[t]
+            idx = np.searchsorted(kt, cur + 1)
+            ok = idx < len(kt)
+            cur, first, idx = cur[ok], first[ok], idx[ok]
+            nxt = kt[idx]
+            same = (nxt >> SHIFT) == (cur >> SHIFT)
+            cur, first = nxt[same], first[same]
+            if cur.size == 0:
                 return None
-
-        def member(t, docs):
-            """(found_mask, row_indices) of ``docs`` in term t's run."""
-            ids = per_term[t][0]
-            idx = np.searchsorted(ids, docs)
-            idx_c = np.minimum(idx, len(ids) - 1)
-            return (idx < len(ids)) & (ids[idx_c] == docs), idx_c
-
-        # doclen per common doc, taken from any term that has the doc
-        dls0 = np.zeros(common.size, dtype="int64")
-        have = np.zeros(common.size, dtype=bool)
-        for t in per_term:
-            f, idx = member(t, common)
-            fill = f & ~have
-            dls0[fill] = per_term[t][2][idx[fill]]
-            have |= fill
-        cdenom = bm25.K1 * (np.maximum(dls0 * lf, bm25.MIN_NORMLEN)
-                            * bm25.B + (1.0 - bm25.B))
-        weight = np.zeros(common.size, dtype="float64")
-        for g in groups:
-            for kind, ts, tw in g:
-                if kind == "term":
-                    t = ts[0]
-                    if t not in per_term:
-                        continue
-                    f, idx = member(t, common)
-                    w = per_term[t][1][idx[f]]
-                    weight[f] += tw * (w / (cdenom[f] + w))
-                else:  # synonym: wdf summed over constituent terms
-                    ws = np.zeros(common.size, dtype="int64")
-                    for t in ts:
-                        if t not in per_term:
-                            continue
-                        f, idx = member(t, common)
-                        ws[f] += per_term[t][1][idx[f]]
-                    f = ws > 0
-                    weight[f] += tw * (ws[f] / (cdenom[f] + ws[f]))
-        if need_pos:
-            keys = {}
-            for t in distinct:
-                # positional children are single Terms, so common is a
-                # subset of every term's run: all members found
-                _, idx = member(t, common)
-                runs, perm = per_term[t][3]
-                k = survivor_keys(runs, perm, idx)
-                if k is None:
-                    return None
-                keys[t] = k
-            if op == "PHRASE":
-                cur = keys[order_terms[0]]
-                first = cur
-                for t in order_terms[1:]:
-                    kt = keys[t]
-                    idx = np.searchsorted(kt, cur + 1)
-                    ok = idx < len(kt)
-                    cur, first, idx = cur[ok], first[ok], idx[ok]
-                    nxt = kt[idx]
-                    same = (nxt >> SHIFT) == (cur >> SHIFT)
-                    cur, first = nxt[same], first[same]
-                    if cur.size == 0:
-                        return None
-                hit_idx = np.unique(
-                    first[(cur - first) < window] >> SHIFT)
-            else:  # NEAR
-                starts = np.concatenate([keys[t] for t in distinct])
-                ok = np.ones(starts.size, dtype=bool)
-                for t in distinct:
-                    kt = keys[t]
-                    cnt = (np.searchsorted(kt, starts + window)
-                           - np.searchsorted(kt, starts))
-                    ok &= cnt >= mult[t]
-                hit_idx = np.unique(starts[ok] >> SHIFT)
-            if hit_idx.size == 0:
-                return None
-            mask = np.zeros(common.size, dtype=bool)
-            mask[hit_idx] = True
-            common, weight = common[mask], weight[mask]
-        return pd.DataFrame({"doc_id": common, "weight": weight})
-
-    return _carry_block_stream(one_block)
+        hit = np.unique(first[(cur - first) < window] >> SHIFT)
+    else:  # NEAR
+        starts = np.concatenate([keys[t] for t in sorted(keys)])
+        ok = np.ones(starts.size, dtype=bool)
+        for t, kt in keys.items():
+            cnt = (np.searchsorted(kt, starts + window)
+                   - np.searchsorted(kt, starts))
+            ok &= cnt >= mult[t]
+        hit = np.unique(starts[ok] >> SHIFT)
+    return hit if hit.size else None
 
 
 def _carry_block_stream(one_block):
@@ -344,15 +235,17 @@ def _carry_block_stream(one_block):
     return fn
 
 
-def _tree_kernel(spec, distinct: list, lf: float):
-    """Arrow kernel for the block-local BOOLEAN TREE path (VERDICT r03
-    #5): evaluates a compiled operator tree per doc-range block.  A doc
-    lives in exactly one block, so EVERY boolean function of term
-    membership — not just AND/OR — is block-locally decidable and the
-    whole tree runs in the single encoded-row exchange, replacing the
-    per-operator DataFrame joins for AND_NOT / AND_MAYBE / FILTER /
-    XOR trees (the reference evaluates these as one PostList merge per
-    query too: Xapian's multimatch over AndNotPostList etc.).
+def _tree_kernel(spec, distinct: list, lf: float,
+                 pos_terms: Optional[frozenset] = None):
+    """Arrow kernel for the block-local OPERATOR TREE path (VERDICT r03
+    #5, r04 #5): evaluates a compiled operator tree per doc-range
+    block.  A doc lives in exactly one block, so EVERY boolean function
+    of term membership — and every positional predicate, since
+    positions live with the postings — is block-locally decidable and
+    the whole tree runs in the single encoded-row exchange, replacing
+    per-operator DataFrame joins (the reference evaluates these as one
+    PostList merge per query too: Xapian's multimatch over
+    AndNotPostList / NearPostList etc.).
 
     ``spec`` grammar (plain picklable tuples):
 
@@ -365,6 +258,15 @@ def _tree_kernel(spec, distinct: list, lf: float):
                                       summed (plan.py semantics)
       ("and_not"|"and_maybe"|"filter"|"xor", [l, r])
       ("scaled", factor, spec)
+      ("pos", op, window, [("term", [t], tw)...])
+                                      PHRASE/NEAR: AND of the members
+                                      plus the vectorized position-
+                                      window check, positions decoded
+                                      lazily for AND survivors only
+
+    ``pos_terms``: terms under positional nodes — only their raw
+    position blobs are retained per block (decoded only at survivor
+    indices by ``_survivor_keys``).
 
     Per block: decode each term's run once, build the doc universe
     (union of all term runs) with per-doc BM25 denominators, then fold
@@ -373,29 +275,38 @@ def _tree_kernel(spec, distinct: list, lf: float):
     outside the node's mask."""
     import numpy as np
 
+    pos_terms = pos_terms or frozenset()
+
     def one_block(rows: list) -> Optional[pd.DataFrame]:
         by_term: dict = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
         per_term: dict = {}
+        pos_runs: dict = {}
         for t in distinct:
             rl = by_term.get(t)
             if not rl:
                 continue
-            ids_l, wdf_l, dl_l = [], [], []
+            ids_l, wdf_l, dl_l, runs = [], [], [], []
             for r in rl:
                 n = int(r["n"])
                 ids_l.append(decode_doc_gaps(r["doc_gaps"], n)
                              .astype("int64"))
                 wdf_l.append(varint_decode(r["wdfs"], n).astype("int64"))
                 dl_l.append(varint_decode(r["doclens"], n).astype("int64"))
+                if t in pos_terms:
+                    # raw blob kept; decoded lazily for survivors only
+                    runs.append((r.get("positions"), n, wdf_l[-1]))
             ids = np.concatenate(ids_l)
             wdfs = np.concatenate(wdf_l)
             dls = np.concatenate(dl_l)
+            perm = None
             if len(ids_l) > 1:  # upsert appends can interleave id ranges
                 perm = np.argsort(ids, kind="stable")
                 ids, wdfs, dls = ids[perm], wdfs[perm], dls[perm]
             per_term[t] = (ids, wdfs, dls)
+            if t in pos_terms:
+                pos_runs[t] = (runs, perm)
         if not per_term:
             return None
 
@@ -454,6 +365,40 @@ def _tree_kernel(spec, distinct: list, lf: float):
             if kind == "scaled":
                 m, w = eval_spec(sp[2])
                 return m, w * sp[1]
+            if kind == "pos":
+                op, window, ms = sp[1], sp[2], sp[3]
+                empty = (np.zeros(U, dtype=bool), np.zeros(U))
+                m = np.ones(U, dtype=bool)
+                for _, ts, _ in ms:
+                    if ts[0] not in per_term:
+                        return empty
+                    m &= member(ts[0])[0]
+                if not m.any():
+                    return empty
+                w = np.zeros(U)
+                for _, ts, tw in ms:
+                    _, idx = member(ts[0])
+                    wd = per_term[ts[0]][1][idx[m]]
+                    w[m] += tw * (wd / (cdenom[m] + wd))
+                surv = np.flatnonzero(m)
+                order_terms = [ts[0] for _, ts, _ in ms]
+                mult: dict = {}
+                for t in order_terms:
+                    mult[t] = mult.get(t, 0) + 1
+                keys = {}
+                for t in dict.fromkeys(order_terms):
+                    _, idx = member(t)
+                    runs, perm = pos_runs[t]
+                    k = _survivor_keys(runs, perm, idx[surv])
+                    if k is None:
+                        return empty
+                    keys[t] = k
+                hit = _window_hits(op, window, order_terms, mult, keys)
+                if hit is None:
+                    return empty
+                m2 = np.zeros(U, dtype=bool)
+                m2[surv[hit]] = True
+                return m2, np.where(m2, w, 0.0)
             subs = [eval_spec(s) for s in sp[1]]
             if kind == "or":
                 m = subs[0][0].copy()
@@ -619,7 +564,15 @@ class Searcher:
             return {"exact": {}, "expansions": {}, "all": {}}
         cap = self.wildcard_limit
         if patterns and cap:
-            margin = len(terms) + cap * len(patterns) + 1
+            # the raw scan yields up to one row per committed
+            # GENERATION per term (upsert appends), so the completeness
+            # margin scales by the gen count — otherwise a benign
+            # multi-gen index would spuriously trip the distributed
+            # escalation on patterns well under the limit (ADVICE r04).
+            # committed_gens is driver-small (bounded by upserts since
+            # the last compact), so the collect stays bounded.
+            n_gens = max(1, len(self.committed or [0]))
+            margin = (len(terms) + cap * len(patterns)) * n_gens + 1
             raw = scan.limit(margin).collect()
             if len(raw) >= margin:
                 return self._dict_lookup_distributed(
@@ -795,7 +748,11 @@ class Searcher:
         if isinstance(node, MatchNothing) or isinstance(node, ValueRange):
             return self._empty()
         if isinstance(node, MatchAll):
-            base = self.docstats.select("doc_id", F.lit(0.0).alias("weight"))
+            # the forward store, not docstats: a doc that emitted zero
+            # terms (impossible today — U/D field terms are
+            # unconditional — but allowed by the data model) must still
+            # match <alldocuments> (ADVICE r04)
+            base = self.docs.select("doc_id", F.lit(0.0).alias("weight"))
             if self.tombstones is not None:
                 base = base.join(self.tombstones, "doc_id", "left_anti")
             if ctx["allowed"] is not None:
@@ -880,54 +837,14 @@ class Searcher:
         walk(node)
         return self._synonym(dict(counts), ctx)
 
-    def _block_merge(self, children: tuple, ctx: dict,
-                     op: str = "PHRASE",
-                     window: int = 0) -> Optional[DataFrame]:
-        """PHRASE / NEAR over Term children as a block-local merge: ONE
-        exchange of the compact ENCODED posting rows on the shared
-        doc-range block key, then per-block decode + intersect + score
-        + the vectorized position-window check inside a single Arrow
-        kernel with lazy survivor-only position decode.  (Boolean trees
-        take the sibling ``_block_eval_tree`` path; this kernel is the
-        positions-aware one.)  Per-block working set is bounded by
-        block_span per term at any corpus size."""
-        groups = []
-        for c in children:
-            if not isinstance(c, Term):
-                return None  # positions live on term leaves only
-            info = ctx["dict"]["exact"].get(c.term)
-            if not info:
-                return self._empty()  # child matches nothing
-            groups.append([("term", [c.term], bm25.termweight(
-                self.N, int(info["df"]), c.wqf))])
-        distinct = sorted({t for g in groups for _, ts, _ in g for t in ts})
-        blocks = self._scan_blocks(distinct)
-        if ctx.get("blocks") is not None:
-            blocks = blocks.filter(
-                F.col("block").isin([int(b) for b in ctx["blocks"]]))
-        if ctx.get("blocks_df") is not None:
-            blocks = blocks.join(F.broadcast(ctx["blocks_df"]), "block",
-                                 "left_semi")
-        cols = ["block", "term", "n", "doc_gaps", "wdfs", "doclens",
-                "positions"]
-        enc = (blocks.select(*cols)
-               .repartition("block").sortWithinPartitions("block"))
-        out = enc.mapInPandas(
-            _merge_kernel(groups, distinct, op, window, self.lf),
-            "doc_id bigint, weight double")
-        if self.tombstones is not None:
-            out = out.join(self.tombstones, "doc_id", "left_anti")
-        if ctx["allowed"] is not None:
-            out = out.join(ctx["allowed"], "doc_id", "left_semi")
-        return out
-
     def _compile_block_spec(self, node: Node, ctx: dict):
         """Compile a plan tree into a ``_tree_kernel`` spec, or None
-        when the tree isn't block-local: MatchAll (docs with no query
-        term in a block aren't in its posting universe) and positional
-        nodes (they take the dedicated lazy-positions kernel).  OR of
-        pure leaves flattens into one 'leaf' spec — identical weights
-        (union + sum), fewer masks."""
+        when the tree isn't block-local — today only MatchAll (docs
+        with no query term in a block aren't in its posting universe).
+        Positional nodes compile to 'pos' specs (VERDICT r04 #5), so
+        ``"a b" AND NOT c`` folds into the same single exchange as pure
+        boolean trees.  OR of pure leaves flattens into one 'leaf' spec
+        — identical weights (union + sum), fewer masks."""
         known = ctx["dict"]["all"]
 
         def leaf_member(leaf):
@@ -949,6 +866,17 @@ class Searcher:
             return ("leaf", [m]) if m else ("empty",)
         if isinstance(node, (MatchNothing, ValueRange)):
             return ("empty",)
+        if isinstance(node, Positional):
+            members = []
+            for c in node.children:
+                if not isinstance(c, Term):
+                    return None  # positions live on term leaves only
+                info = ctx["dict"]["exact"].get(c.term)
+                if not info:
+                    return ("empty",)  # child matches nothing
+                members.append(("term", [c.term], bm25.termweight(
+                    self.N, int(info["df"]), c.wqf)))
+            return ("pos", node.op, node.window, members)
         if isinstance(node, Scaled):
             sub = self._compile_block_spec(node.child, ctx)
             if sub is None:
@@ -995,16 +923,21 @@ class Searcher:
         return None
 
     @staticmethod
-    def _spec_terms(spec, out: set):
+    def _spec_terms(spec, out: set, pos_out: Optional[set] = None):
         if spec[0] == "leaf":
             for _, ts, _ in spec[1]:
                 out.update(ts)
+        elif spec[0] == "pos":
+            for _, ts, _ in spec[3]:
+                out.update(ts)
+                if pos_out is not None:
+                    pos_out.update(ts)
         elif spec[0] == "scaled":
-            Searcher._spec_terms(spec[2], out)
+            Searcher._spec_terms(spec[2], out, pos_out)
         elif spec[0] in ("or", "and", "and_not", "and_maybe",
                          "filter", "xor"):
             for s in spec[1]:
-                Searcher._spec_terms(s, out)
+                Searcher._spec_terms(s, out, pos_out)
 
     def _block_eval_tree(self, node: Node, ctx: dict) \
             -> Optional[DataFrame]:
@@ -1017,7 +950,8 @@ class Searcher:
         if spec is None:
             return None
         terms: set = set()
-        self._spec_terms(spec, terms)
+        pos_terms: set = set()
+        self._spec_terms(spec, terms, pos_terms)
         if spec == ("empty",) or not terms:
             return self._empty()
         blocks = self._scan_blocks(sorted(terms))
@@ -1027,11 +961,17 @@ class Searcher:
         if ctx.get("blocks_df") is not None:
             blocks = blocks.join(F.broadcast(ctx["blocks_df"]), "block",
                                  "left_semi")
-        enc = (blocks.select("block", "term", "n", "doc_gaps", "wdfs",
-                             "doclens")
+        cols = ["block", "term", "n", "doc_gaps", "wdfs", "doclens"]
+        if pos_terms:
+            # the binary positions column rides the exchange only when
+            # a positional node needs it (and is decoded only at AND-
+            # survivor indices inside the kernel)
+            cols.append("positions")
+        enc = (blocks.select(*cols)
                .repartition("block").sortWithinPartitions("block"))
         out = enc.mapInPandas(
-            _tree_kernel(spec, sorted(terms), self.lf),
+            _tree_kernel(spec, sorted(terms), self.lf,
+                         frozenset(pos_terms)),
             "doc_id bigint, weight double")
         if self.tombstones is not None:
             out = out.join(self.tombstones, "doc_id", "left_anti")
@@ -1040,11 +980,12 @@ class Searcher:
         return out
 
     def _positional(self, node: Positional, ctx: dict) -> DataFrame:
-        """PHRASE / NEAR via the block-local merge kernel: positions are
-        only decoded for docs that survive the AND intersection, and the
-        window check is vectorized (no per-row Python)."""
-        out = self._block_merge(node.children, ctx, op=node.op,
-                                window=node.window)
+        """PHRASE / NEAR via the block-local tree kernel: positions are
+        only decoded for docs that survive the AND intersection, and
+        the window check is vectorized (no per-row Python).  Since r5
+        this is the same kernel boolean trees use, so a positional node
+        anywhere in a tree still evaluates in one exchange."""
+        out = self._block_eval_tree(node, ctx)
         return out if out is not None else self._empty()
 
     def _bool(self, node: Bool, ctx: dict) -> DataFrame:
@@ -1086,11 +1027,12 @@ class Searcher:
                 F.sum("weight").alias("weight")) if out is not None \
                 else self._empty()
         if op in ("AND", "OR", "AND_NOT", "AND_MAYBE", "FILTER", "XOR"):
-            # block-local boolean tree: the WHOLE tree (not just
+            # block-local operator tree: the WHOLE tree (not just
             # AND/pure-OR) folds inside one encoded-row exchange when
-            # every leaf is a Term/Wildcard — a doc lives in exactly
-            # one doc-range block, so any boolean function of term
-            # membership is block-locally decidable (VERDICT r03 #5)
+            # every leaf is a Term/Wildcard/Positional — a doc lives in
+            # exactly one doc-range block, so any boolean function of
+            # term membership and any positional predicate is block-
+            # locally decidable (VERDICT r03 #5, r04 #5)
             merged = self._block_eval_tree(node, ctx)
             if merged is not None:
                 return merged

@@ -46,8 +46,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import bm25
 from .build import (
-    FORMAT_VERSION, POSTINGS_SCHEMA, TERMS_SCHEMA, _encode_runs,
-    _tokenize_batches, build_index,
+    FORMAT_VERSION, TERMS_SCHEMA, _tokenize_batches, build_index,
+    invert_postings,
 )
 
 TOMBSTONE_SCHEMA = "doc_id bigint, gen int"
@@ -191,11 +191,11 @@ def upsert(spark: SparkSession, index_dir: str,
         F.lit(gen).cast("int").alias("gen"))
      .write.mode("append").parquet(f"{index_dir}/globalstats"))
 
-    # postings for the new blocks (after globalstats so lf is current)
+    # postings for the new blocks (after globalstats so lf is current):
+    # same two-phase inversion as the build — the new gen's staging
+    # files are doc-clustered by dense_ids, so splits are doc-disjoint
     lf = bm25.len_factor(float(gs["avg_doclen"] or 0.0))
-    (new_terms.drop("bucket").repartition("term", "block")
-     .sortWithinPartitions("term", "block", "doc_id")
-     .mapInArrow(_encode_runs(lf, n_buckets), schema=POSTINGS_SCHEMA)
+    (invert_postings(new_terms.drop("bucket"), lf, n_buckets)
      .withColumn("gen", F.lit(gen))
      .write.mode("append").partitionBy("bucket")
      .parquet(f"{index_dir}/postings"))

@@ -49,7 +49,25 @@ from .plan import (
 )
 
 # bump when the export layout or tokenizer semantics change
-TERMROWS_VERSION = 1
+TERMROWS_VERSION = 2
+
+# the partition key carries a CONTENT digest alongside the row count
+# (ADVICE r04: two corpora with equal row counts must not collide, and
+# a content change that preserves rows/bytes must not go stale).  The
+# digest is computed by DuckDB itself — the same expression the oracle
+# SQL evaluates over the ``documents`` view — so both sides always
+# agree on it.  Modulo keeps the UBIGINT sum inside BIGINT range for
+# hive-partition type inference.
+_DIGEST_EXPR = "sum(hash(doc_id, text, lang, source)) % 1000000000000000"
+
+
+def _corpus_key(src: str) -> tuple[int, int]:
+    """(row count, content digest) of a documents parquet, via DuckDB."""
+    import duckdb
+    nd, dg = duckdb.execute(
+        f"SELECT count(*), {_DIGEST_EXPR} FROM read_parquet(?)",
+        [src]).fetchone()
+    return int(nd), int(dg or 0)
 
 
 def termrows_root() -> str:
@@ -63,26 +81,27 @@ def termrows_root() -> str:
 
 def ensure_termrows(sf_dir: str) -> Optional[int]:
     """Materialize the engine's per-(doc, term) rows for ``sf_dir``'s
-    documents table under ``termrows_root()/nd=<n_docs>/``.
+    documents table under ``termrows_root()/nd=<n_docs>/dg=<digest>/``.
 
-    Partitioned by the CORPUS row count so one oracle SQL string works
-    at any scale factor: the SQL selects the partition whose ``nd``
-    equals ``(SELECT count(*) FROM documents)``.  Idempotent: a
-    matching meta.json (version + source fingerprint) short-circuits.
-    Returns the nd key, or None when sf_dir has no documents table.
+    Partitioned by the corpus row count AND a DuckDB-computed content
+    digest so one oracle SQL string works at any scale factor and two
+    corpora can never collide or go silently stale (ADVICE r04): the
+    SQL selects the partition whose (nd, dg) equal the same expressions
+    evaluated over the ``documents`` view.  Idempotent: a matching
+    meta.json short-circuits.  Returns the nd key, or None when
+    ``sf_dir`` has no documents table.
     """
     src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
     if not os.path.exists(src):
         return None
-    import pyarrow.parquet as pq
-
-    meta_src = pq.read_metadata(src)
-    nd = meta_src.num_rows
-    out = os.path.join(termrows_root(), f"nd={nd}")
+    nd, dg = _corpus_key(src)
+    out = os.path.join(termrows_root(), f"nd={nd}", f"dg={dg}")
     mpath = os.path.join(out, "meta.json")
     fingerprint = {
         "version": TERMROWS_VERSION,
         "n_rows": nd,
+        "digest": dg,
+        "src": os.path.abspath(src),
         "src_bytes": os.path.getsize(src),
     }
     if os.path.exists(mpath):
@@ -94,6 +113,7 @@ def ensure_termrows(sf_dir: str) -> Optional[int]:
             pass
 
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from .build import _varint
     from .codec import decode_positions
@@ -141,6 +161,26 @@ def ensure_termrows(sf_dir: str) -> Optional[int]:
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(fingerprint, f)
     os.rename(tmp, out)
+    # hygiene: drop sibling exports of OLDER contents of this same
+    # source file (superseded digests); exports of other corpora that
+    # happen to share the row count are left alone — they no longer
+    # collide now that dg is part of the key
+    nd_dir = os.path.dirname(out)
+    for d in os.listdir(nd_dir):
+        p = os.path.join(nd_dir, d)
+        if p == out:
+            continue
+        if not d.startswith("dg="):
+            # pre-v2 flat layout (files directly under nd=): remove so
+            # the hive glob never sees mixed partition depths
+            (os.remove if os.path.isfile(p) else shutil.rmtree)(p)
+            continue
+        try:
+            with open(os.path.join(p, "meta.json")) as f:
+                if json.load(f).get("src") == fingerprint["src"]:
+                    shutil.rmtree(p)
+        except (OSError, ValueError):
+            pass
     return nd
 
 
@@ -241,8 +281,13 @@ class _SqlGen:
                              "SELECT CAST(NULL AS BIGINT) AS doc_id, "
                              "CAST(NULL AS DOUBLE) AS s WHERE FALSE")
         if isinstance(node, MatchAll):
+            # derived from the documents view (every doc, engine ids
+            # are source id + 1), NOT from the term-derived dl CTE: a
+            # zero-term doc must still match PURE_NOT-shaped queries
+            # (ADVICE r04 — the engine's MatchAll reads docstats)
             return self._add(self._name("w"),
-                             "SELECT doc_id, 0.0 AS s FROM dl")
+                             "SELECT doc_id + 1 AS doc_id, 0.0 AS s "
+                             "FROM documents")
         if isinstance(node, Scaled):
             c = self.emit(node.child)
             return self._add(
@@ -251,8 +296,17 @@ class _SqlGen:
         if isinstance(node, Positional):
             return self.positional(node)
         if isinstance(node, Bool):
+            if node.op == "ELITE" and len(node.children) > 10:
+                # the >10-child selection ranks children by a
+                # data-dependent leaf termweight — not compiled here;
+                # the selection path is DuckDB-oracled in simple mode
+                # (ft_elite_top10) and pytest-oracled in Xapian mode
+                raise NotImplementedError("ELITE with >10 children")
             kids = [self.emit(c) for c in node.children]
-            if node.op == "OR":
+            if node.op in ("OR", "ELITE"):
+                # ELITE keeps the 10 highest-termweight children then
+                # ORs them (plan.py) — with <= 10 children the
+                # selection is the identity and ELITE == OR
                 return self._union_sum(kids)
             if node.op == "AND":
                 return self._union_sum(
@@ -294,7 +348,7 @@ class _SqlGen:
         check is exact).  2-term NEAR: distinct positions, any order,
         |Δ| < window (distinct terms never share a position).  Weight =
         AND of the member term units restricted to hit docs
-        (search._merge_kernel / oracle._phrase_hit semantics)."""
+        (search._tree_kernel / oracle._phrase_hit semantics)."""
         terms = []
         for c in node.children:
             if not isinstance(c, Term):
@@ -339,8 +393,9 @@ class _SqlGen:
 
 _BASE_CTES = """tr AS (
   SELECT doc_id, term, wdf, positions
-  FROM read_parquet('{root}/nd=*/*.parquet', hive_partitioning = true)
+  FROM read_parquet('{root}/nd=*/dg=*/*.parquet', hive_partitioning = true)
   WHERE nd = (SELECT count(*) FROM documents)
+    AND dg = (SELECT {digest} FROM documents)
 ),
 dl AS (SELECT doc_id, sum(wdf)::DOUBLE AS doclen FROM tr GROUP BY doc_id),
 g AS (SELECT count(*)::DOUBLE AS n_docs, avg(doclen) AS avgdl FROM dl),
@@ -355,13 +410,29 @@ def xq_oracle_sql(query: str, k: int = 10) -> str:
     """DuckDB SQL equivalent of ``Searcher.query_df(query, k)`` over the
     term-rows parquet, output shape ``(doc_id, score)`` with engine ids
     mapped back to the source table (engine ids are 1-based) and scores
-    rounded like the Spark entry (CAST(round(s,4) AS DOUBLE))."""
+    rounded like the Spark entry (CAST(round(s,4) AS DOUBLE)).
+
+    The tr CTE selects the export partition by BOTH corpus row count
+    and content digest; if no export matches the current ``documents``
+    view the query raises a descriptive error instead of silently
+    returning zero rows (ADVICE r04) — the guard branch below is a
+    UNION arm whose WHERE clause must always be evaluated, so it fires
+    even when the result set would otherwise be empty."""
     from .queryparse import parse_user_query
     gen = _SqlGen()
     top = gen.emit(parse_user_query(query))
     ctes = ",\n".join(
-        [_BASE_CTES.format(root=termrows_root())] + gen.ctes)
+        [_BASE_CTES.format(root=termrows_root(), digest=_DIGEST_EXPR)]
+        + gen.ctes)
+    guard = ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+             "CAST(error('xq term-rows export missing for this corpus: "
+             "run mdq_spark.xq_oracle.ensure_termrows(sf_dir) first') "
+             "AS DOUBLE) AS score, CAST(NULL AS DOUBLE) AS s "
+             "WHERE (SELECT count(*) FROM tr) = 0")
     return (f"WITH {ctes}\n"
-            f"SELECT doc_id - 1 AS doc_id, "
-            f"CAST(round(s, 4) AS DOUBLE) AS score\n"
-            f"FROM {top} ORDER BY s DESC, doc_id ASC LIMIT {k}")
+            f"SELECT doc_id, score FROM (\n"
+            f"  (SELECT doc_id - 1 AS doc_id, "
+            f"CAST(round(s, 4) AS DOUBLE) AS score, s\n"
+            f"   FROM {top} ORDER BY s DESC, doc_id ASC LIMIT {k})\n"
+            f"  UNION ALL ({guard})\n"
+            f") ORDER BY s DESC, doc_id ASC\n")

@@ -81,6 +81,15 @@ QUERIES = [
     "jumping",
     "fox SYNONYM foxes",
     "quick ELITE lazy",
+    # positional leaves under every outer operator (VERDICT r04 #5:
+    # these fold into the tree kernel's single exchange since r5)
+    '"quick brown" AND spark',
+    '"quick brown" OR planner',
+    '"quick brown" AND NOT foxes',
+    '"quick brown" AND MAYBE lazy',
+    'spark XOR "quick brown" ',
+    'quick FILTER "brown fox" ',
+    '"quick brown" SCALED 2',
 ]
 
 
@@ -198,45 +207,56 @@ def test_sha256_invariant(spark, index):
         assert r["sha256"] == _sha(r["body"])
 
 
-def test_tid_encoded_shuffle_byte_identical(spark, index, tmp_path_factory):
-    """The adaptive tid-encoded inversion shuffle (term -> int32 on the
-    wire, mapped back per group in the kernel) must produce posting
-    blocks byte-identical to the string path."""
+def test_partial_run_merge_identity(spark, index):
+    """The two-phase inversion (map-side partial runs + reduce-side
+    concat merge, VERDICT r04 #1) must produce identical posting
+    content no matter how the staging is split: one partition (every
+    group one partial — the vectorized pass-through), several doc-range
+    partitions (disjoint merge with bridge-gap varint patches), and a
+    round-robin split that VIOLATES the doc-disjointness invariant
+    (overlapping partials — the pass-through fallback emits multiple
+    rows per group, which the query kernels merge like upsert gens)."""
     from pyspark.sql import functions as F
-    from mdq_spark.build import DOCS_SCHEMA, IndexBuilder, build_index
+    from mdq_spark import bm25
+    from mdq_spark.build import invert_postings
+    from mdq_spark.codec import (
+        decode_doc_gaps, decode_positions, varint_decode,
+    )
 
-    def checksum(path):
-        df = spark.read.parquet(f"{path}/postings")
-        return df.select(
-            F.sum(F.crc32("term")).alias("t"),
-            F.sum(F.crc32("doc_gaps")).alias("g"),
-            F.sum(F.crc32("wdfs")).alias("w"),
-            F.sum(F.crc32("doclens")).alias("d"),
-            F.sum(F.crc32("positions")).alias("p"),
-            F.sum("bucket").alias("b"), F.sum("n").alias("n"),
-            F.sum("block_max_wdf").alias("mw"),
-            F.count("*").alias("c")).collect()[0].asDict()
+    out, manifest = index
+    terms = spark.read.parquet(f"{out}/terms") \
+        .filter(F.col("gen") == 0).drop("bucket")
+    lf = bm25.len_factor(manifest["globalstats"]["avg_doclen"])
 
-    rows = [{**d, "sha256": _sha(d["body"])} for d in DOCS]
-    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
-    out_str = str(tmp_path_factory.mktemp("tidoff"))
-    out_tid = str(tmp_path_factory.mktemp("tidon"))
-    old_max = IndexBuilder.TID_ENCODE_MAX_TERMS
-    old_min = IndexBuilder.TID_ENCODE_MIN_POSTINGS
-    try:
-        IndexBuilder.TID_ENCODE_MAX_TERMS = 0  # force the string path
-        build_index(spark, df, out_str, block_span=4, n_buckets=8)
-        IndexBuilder.TID_ENCODE_MAX_TERMS = old_max
-        IndexBuilder.TID_ENCODE_MIN_POSTINGS = 0  # force the tid path
-        build_index(spark, df, out_tid, block_span=4, n_buckets=8)
-    finally:
-        IndexBuilder.TID_ENCODE_MAX_TERMS = old_max
-        IndexBuilder.TID_ENCODE_MIN_POSTINGS = old_min
-    assert checksum(out_tid) == checksum(out_str)
-    # and the tid-built index answers queries identically
-    s = Searcher(spark, out_tid)
-    base = Searcher(spark, index[0])
-    assert s.search("spark AND query") == base.search("spark AND query")
+    def decoded(df):
+        rows = []
+        for r in df.collect():
+            n = int(r["n"])
+            ids = decode_doc_gaps(bytes(r["doc_gaps"]), n)
+            wdfs = varint_decode(bytes(r["wdfs"]), n)
+            dls = varint_decode(bytes(r["doclens"]), n)
+            # block metadata must describe the decoded run exactly
+            assert int(r["first_doc"]) == int(ids[0])
+            assert int(r["last_doc"]) == int(ids[-1])
+            assert int(r["block_max_wdf"]) == int(wdfs.max())
+            assert int(r["block_min_doclen"]) == int(dls.min())
+            pls = decode_positions(bytes(r["positions"]), n) \
+                if r["positions"] is not None else [()] * n
+            for i in range(n):
+                rows.append((r["term"], int(r["block"]), int(ids[i]),
+                             int(wdfs[i]), int(dls[i]),
+                             tuple(int(x) for x in pls[i])))
+        return sorted(rows)
+
+    base = decoded(invert_postings(terms.coalesce(1), lf, 8))
+    ranged = invert_postings(
+        terms.repartitionByRange(4, "doc_id"), lf, 8)
+    assert decoded(ranged) == base
+    assert decoded(invert_postings(terms.repartition(4), lf, 8)) == base
+    # doc-range splits keep the disjointness invariant, so their
+    # partials must actually MERGE: one row per (term, block)
+    assert int(ranged.groupBy("term", "block").count()
+               .agg(F.max("count")).collect()[0][0]) == 1
 
 
 PRUNE_QUERIES = ["spark", "quick brown", "qui", "zig ", "spark "]
@@ -320,7 +340,10 @@ def test_block_merge_single_exchange(searcher):
               "spark quick planner",
               "spark AND NOT query", "quick AND MAYBE lazy",
               "quick FILTER lazy", "spark XOR query",
-              "spark AND NOT query ", "qui* AND NOT planner"]:
+              "spark AND NOT query ", "qui* AND NOT planner",
+              # positional leaves inside boolean trees (VERDICT r04 #5)
+              '"quick brown" AND NOT foxes', 'spark XOR "quick brown" ',
+              '"quick brown" AND MAYBE lazy', "spark NEAR shuffles"]:
         df = searcher.query_df(q, k=3, prune="never")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, q

@@ -21,6 +21,26 @@ pytestmark = pytest.mark.spark
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _export_part(nd: int) -> str:
+    """The export parquet for SF_DIR under the (nd, dg) layout.  Note
+    the nd partition alone is ambiguous BY DESIGN: sf0.001 and sf0.01
+    both hold 500 document rows, the exact collision the dg content
+    digest resolves (ADVICE r04) — select by the meta's source path."""
+    import glob
+    import json
+    from mdq_spark.xq_oracle import termrows_root
+    src = os.path.abspath(os.path.join(SF_DIR, "documents.parquet"))
+    parts = []
+    for m in glob.glob(os.path.join(
+            termrows_root(), f"nd={nd}", "dg=*", "meta.json")):
+        with open(m) as f:
+            if json.load(f).get("src") == src:
+                parts.append(os.path.join(
+                    os.path.dirname(m), "part-00000.parquet"))
+    assert len(parts) == 1, parts
+    return parts[0]
+
+
 @pytest.fixture(scope="module")
 def termrows_nd():
     from mdq_spark.xq_oracle import ensure_termrows
@@ -49,10 +69,8 @@ def test_termrows_match_engine_staging(spark, xq_searcher, termrows_nd):
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
     from mdq_spark.codec import decode_positions
-    from mdq_spark.xq_oracle import termrows_root
 
-    out = os.path.join(termrows_root(), f"nd={termrows_nd}")
-    exp_tbl = pq.read_table(os.path.join(out, "part-00000.parquet"))
+    exp_tbl = pq.read_table(_export_part(termrows_nd))
     exported = {}
     for did, term, wdf, pos in zip(
             exp_tbl.column("doc_id").to_pylist(),
@@ -81,12 +99,13 @@ def test_termrows_match_engine_staging(spark, xq_searcher, termrows_nd):
 
 
 def test_entry_queries_hash_match(spark, con, termrows_nd):
-    """The five xq_* driver entries: Spark result == DuckDB oracle
-    (rounded values, order-insensitive) — what CORRECTNESS_r04 checks."""
+    """Every registered xq_* driver entry: Spark result == DuckDB
+    oracle (rounded values, order-insensitive) — what CORRECTNESS
+    checks."""
     import __spark_entry__ as entry
+    from mdq_spark.entry_queries import XQ_QUERIES
     qs, osql = entry.queries(), entry.oracle_sql()
-    for name in ["xq_free_text", "xq_field_tag", "xq_phrase",
-                 "xq_boolean", "xq_and_maybe"]:
+    for name in XQ_QUERIES:
         srows = sorted((r["doc_id"], r["score"])
                        for r in qs[name](spark, SF_DIR).collect())
         drows = sorted((int(a), float(b)) for a, b in
@@ -103,6 +122,9 @@ WIDER_QUERIES = [
     '"the fast slow" ',        # 3-term phrase (chained join)
     "sor* merge",              # explicit trailing-* wildcard
     "NOT sort AND fast",       # PURE_NOT -> MatchAll AND_NOT
+    "sort ELITE merge",        # ELITE <= 10 children == OR
+    '"the fast" AND NOT slow',  # positional leaf inside a boolean tree
+    '"the fast" AND MAYBE slow',
 ]
 
 
@@ -124,9 +146,8 @@ def test_wider_operator_battery(spark, xq_searcher, con, termrows_nd, q):
 
 def test_export_idempotent(termrows_nd):
     """A second ensure is a no-op (meta fingerprint short-circuit)."""
-    from mdq_spark.xq_oracle import ensure_termrows, termrows_root
-    out = os.path.join(termrows_root(), f"nd={termrows_nd}")
-    part = os.path.join(out, "part-00000.parquet")
+    from mdq_spark.xq_oracle import ensure_termrows
+    part = _export_part(termrows_nd)
     before = os.path.getmtime(part)
     assert ensure_termrows(SF_DIR) == termrows_nd
     assert os.path.getmtime(part) == before
