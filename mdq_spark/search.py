@@ -235,7 +235,7 @@ def _carry_block_stream(one_block):
     return fn
 
 
-def _tree_kernel(spec, distinct: list, lf: float,
+def _tree_kernel(spec_items: list, distinct: list, lf: float,
                  pos_terms: Optional[frozenset] = None):
     """Arrow kernel for the block-local OPERATOR TREE path (VERDICT r03
     #5, r04 #5): evaluates a compiled operator tree per doc-range
@@ -268,11 +268,18 @@ def _tree_kernel(spec, distinct: list, lf: float,
     position blobs are retained per block (decoded only at survivor
     indices by ``_survivor_keys``).
 
+    ``spec_items`` is a list of ``(query_id, spec)``: a WHOLE QUERY LOG
+    evaluates in one kernel over one exchange — posting decode, term
+    membership, and BM25 denominators are computed once per block and
+    shared by every query's tree (the batch_search replay path).  A
+    single ``(None, spec)`` item emits plain (doc_id, weight) rows;
+    tagged items prepend query_id.
+
     Per block: decode each term's run once, build the doc universe
     (union of all term runs) with per-doc BM25 denominators, then fold
-    the tree bottom-up over boolean masks + weight vectors — all numpy,
-    no per-row Python.  The weight invariant at every node: w == 0
-    outside the node's mask."""
+    each tree bottom-up over boolean masks + weight vectors — all
+    numpy, no per-row Python.  The weight invariant at every node:
+    w == 0 outside the node's mask."""
     import numpy as np
 
     pos_terms = pos_terms or frozenset()
@@ -428,10 +435,19 @@ def _tree_kernel(spec, distinct: list, lf: float,
                 return m, np.where(m, wl + wr, 0.0)
             raise ValueError(f"unknown spec {kind}")
 
-        m, w = eval_spec(spec)
-        if not m.any():
+        frames = []
+        for qid, sp in spec_items:
+            m, w = eval_spec(sp)
+            if not m.any():
+                continue
+            f = pd.DataFrame({"doc_id": universe[m], "weight": w[m]})
+            if qid is not None:
+                f.insert(0, "query_id", qid)
+            frames.append(f)
+        if not frames:
             return None
-        return pd.DataFrame({"doc_id": universe[m], "weight": w[m]})
+        return frames[0] if len(frames) == 1 else \
+            pd.concat(frames, ignore_index=True)
 
     return _carry_block_stream(one_block)
 
@@ -970,7 +986,7 @@ class Searcher:
         enc = (blocks.select(*cols)
                .repartition("block").sortWithinPartitions("block"))
         out = enc.mapInPandas(
-            _tree_kernel(spec, sorted(terms), self.lf,
+            _tree_kernel([(None, spec)], sorted(terms), self.lf,
                          frozenset(pos_terms)),
             "doc_id bigint, weight double")
         if self.tombstones is not None:
@@ -1408,14 +1424,22 @@ class Searcher:
 
     def batch_search(self, queries: dict, k: int = 10,
                      filters: Optional[Column] = None) -> DataFrame:
-        """Evaluate a whole query log in ONE Spark action: per-query
-        plans are tagged and unioned, ranked with a window per query.
-        Returns (query_id, doc_id, score, rank).  This is how a training
-        pipeline scores millions of queries — per-query job latency
-        (~1 s floor) amortizes to throughput.  The dictionary is
-        consulted in ONE scan for the union of every query's terms and
-        patterns (VERDICT r01 #7), so driver-side work stays a single
-        job regardless of the log size."""
+        """Evaluate a whole query log in ONE Spark action, ranked with
+        a window per query.  Returns (query_id, doc_id, score, rank).
+        This is how a training pipeline scores millions of queries —
+        per-query job latency (~1 s floor) amortizes to throughput.
+
+        Scale shape: the dictionary is consulted in ONE scan for the
+        union of every query's terms and patterns (VERDICT r01 #7),
+        and — new in r5 — every compilable query's tree evaluates
+        inside ONE shared tree-kernel pass over ONE posting exchange:
+        the scan covers the union of all queries' terms, and per block
+        the posting decode, term membership, and BM25 denominators are
+        computed once and reused by every query's spec.  A 10k-query
+        log therefore costs one exchange + one decode of the union
+        posting set, not 10k of each.  Queries whose tree isn't
+        block-local (MatchAll shapes) fall back to per-query plans and
+        union in."""
         from pyspark.sql import Window
         nodes: dict = {}
         terms: set = set()
@@ -1426,10 +1450,38 @@ class Searcher:
         shared_dict = self._dict_lookup(sorted(terms), sorted(patterns))
         allowed = (self.docs.filter(filters).select("doc_id")
                    if filters is not None else None)
-        tagged = None
+        ctx = {"dict": shared_dict, "allowed": allowed}
+        spec_items: list = []
+        spec_terms: set = set()
+        spec_pos: set = set()
+        rest: dict = {}
         for qid, node in nodes.items():
-            ctx = {"dict": shared_dict, "allowed": allowed}
-            w = self._eval(node, ctx).withColumn("query_id", F.lit(qid))
+            spec = self._compile_block_spec(node, ctx)
+            if spec is None:
+                rest[qid] = node
+            elif spec != ("empty",):
+                spec_items.append((str(qid), spec))
+                self._spec_terms(spec, spec_terms, spec_pos)
+        tagged = None
+        if spec_items and spec_terms:
+            blocks = self._scan_blocks(sorted(spec_terms))
+            cols = ["block", "term", "n", "doc_gaps", "wdfs", "doclens"]
+            if spec_pos:
+                cols.append("positions")
+            enc = (blocks.select(*cols)
+                   .repartition("block").sortWithinPartitions("block"))
+            out = enc.mapInPandas(
+                _tree_kernel(spec_items, sorted(spec_terms), self.lf,
+                             frozenset(spec_pos)),
+                "query_id string, doc_id bigint, weight double")
+            if self.tombstones is not None:
+                out = out.join(self.tombstones, "doc_id", "left_anti")
+            if allowed is not None:
+                out = out.join(allowed, "doc_id", "left_semi")
+            tagged = out
+        for qid, node in rest.items():
+            w = self._eval(node, ctx) \
+                .withColumn("query_id", F.lit(str(qid)))
             tagged = w if tagged is None else tagged.unionByName(w)
         if tagged is None:
             return self.spark.createDataFrame(

@@ -474,8 +474,13 @@ def test_weight_cutoff(searcher, oracle):
 
 
 def test_batch_search_matches_individual(searcher, oracle):
+    # covers the shared-kernel path (plain/boolean/positional/wildcard
+    # specs in ONE exchange), the MatchAll fallback union, and a
+    # no-match query (absent from the output)
     queries = {"a": "spark ", "b": "quick brown", "c": '"hee hee hee" ',
-               "d": "spark AND NOT query"}
+               "d": "spark AND NOT query", "e": "NOT spark AND quick",
+               "f": "qui", "g": '"quick brown" AND NOT foxes',
+               "h": "zzznosuchterm "}
     out = searcher.batch_search(queries, k=5).collect()
     by_q = {}
     for r in out:
@@ -485,3 +490,16 @@ def test_batch_search_matches_individual(searcher, oracle):
         expected = oracle.search(q, k=5)
         got = sorted(by_q.get(qid, []))
         assert_results_match(expected, [(d, s) for _, d, s in got])
+
+
+def test_batch_search_single_shared_exchange(searcher):
+    """The whole compilable log runs as ONE tree-kernel exchange — not
+    one exchange per query (r5 replay path)."""
+    queries = {f"q{i}": q for i, q in enumerate(
+        ["spark ", "quick brown", "spark AND NOT query",
+         '"quick brown" ', "planner OR fox", "qui"])}
+    df = searcher.batch_search(queries, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    # one exchange for the kernel + one for the per-query rank window
+    assert plan.count("Exchange") <= 2, plan
