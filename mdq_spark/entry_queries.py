@@ -524,6 +524,31 @@ XQ_QUERIES = {
 }
 
 
+# ESet / relevance-feedback expansion (omenquire.cc:609-654, dead code
+# in the reference's CLI but part of its patched Enquire API — see
+# mdq_spark/eset.py).  Fixed deterministic RSets; the trad entry also
+# exercises the query-term ExpandDecider.
+ESET_TRAD_RSET = [1, 2, 3, 4, 5]
+ESET_TRAD_QUERY = "sort merge"
+ESET_BO1_RSET = [2, 4, 6, 8]
+
+
+def _xq_eset(rset: list[int], maxitems: int, scheme: str,
+             query: str | None = None):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .xq_oracle import ensure_termrows
+        try:
+            ensure_termrows(sf_dir)
+        except OSError:
+            pass
+        s = ensure_index(spark, sf_dir, "xapian")
+        df = s.get_eset(rset, maxitems=maxitems, scheme=scheme,
+                        query=query)
+        return df.select("term",
+                         F.round("wt", 4).cast("double").alias("wt"))
+    return fn
+
+
 def _xq(query: str, k: int = 10):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keep the oracle's term-rows export fresh for THIS corpus, no
@@ -599,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fulltext (Xapian mode, DuckDB-oracled via the term-rows export)
     for name, xq in XQ_QUERIES.items():
         q[name] = _xq(xq)
+    q["xq_eset_trad"] = _xq_eset(ESET_TRAD_RSET, 20, "trad",
+                                 query=ESET_TRAD_QUERY)
+    q["xq_eset_bo1"] = _xq_eset(ESET_BO1_RSET, 15, "bo1")
 
     # dedup / fingerprint
     q["dedup_exact"] = lambda sp, d: datapipe.exact_dedup(
@@ -858,6 +886,12 @@ def oracle_sql() -> dict[str, str]:
             pass
     for name, xq in XQ_QUERIES.items():
         o[name] = xq_oracle_sql(xq)
+    from .eset import query_exclude_terms
+    from .xq_oracle import eset_oracle_sql
+    o["xq_eset_trad"] = eset_oracle_sql(
+        ESET_TRAD_RSET, 20, "trad",
+        exclude_terms=query_exclude_terms(ESET_TRAD_QUERY))
+    o["xq_eset_bo1"] = eset_oracle_sql(ESET_BO1_RSET, 15, "bo1")
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_sha,

@@ -1508,6 +1508,25 @@ class Searcher:
         from .spell import batch_suggest
         return batch_suggest(self, words, max_edit_distance)
 
+    def get_eset(self, rset: list[int], maxitems: int = 20,
+                 scheme: str = "trad", expand_k: float = 1.0,
+                 min_wt: float = 0.0,
+                 include_query_terms: bool = False,
+                 query: Optional[str] = None) -> DataFrame:
+        """Relevance-feedback expansion terms (Xapian ``get_eset``,
+        omenquire.cc:609-654) for the relevant doc_ids ``rset`` —
+        DataFrame ``(term, wt)``, weight descending.  When ``query`` is
+        given and ``include_query_terms`` is False (the Xapian
+        default), the query's exact terms are excluded
+        (ExpandDeciderFilterTerms)."""
+        from .eset import eset_df, query_exclude_terms
+        exclude: list[str] = []
+        if query and not include_query_terms:
+            exclude = query_exclude_terms(query)
+        return eset_df(self, rset, maxitems=maxitems, scheme=scheme,
+                       expand_k=expand_k, min_wt=min_wt,
+                       exclude_terms=exclude or None)
+
     # Serialization projections (P3, src/document.rs:248-284): which
     # fields each output mode carries.
     SERIALIZATIONS = {

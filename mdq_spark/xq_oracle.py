@@ -436,3 +436,62 @@ def xq_oracle_sql(query: str, k: int = 10) -> str:
             f"   FROM {top} ORDER BY s DESC, doc_id ASC LIMIT {k})\n"
             f"  UNION ALL ({guard})\n"
             f") ORDER BY s DESC, doc_id ASC\n")
+
+
+def eset_oracle_sql(rset_ids: list[int], maxitems: int = 20,
+                    scheme: str = "trad", expand_k: float = 1.0,
+                    min_wt: float = 0.0,
+                    exclude_terms: Optional[list[str]] = None) -> str:
+    """DuckDB SQL equivalent of ``Searcher.get_eset`` over the
+    term-rows parquet (mdq_spark/eset.py docstring has the formula
+    citations): candidates from the RSet docs' term rows, df/cf
+    re-derived per term from ALL rows, Trad/Bo1 weight recomputed,
+    output ``(term, wt)`` rounded like the Spark entry."""
+    ids = ", ".join(str(int(d)) for d in sorted(set(rset_ids)))
+    k = float(expand_k)
+    where = f"WHERE rawwt > {float(min_wt)}"
+    if exclude_terms:
+        lst = ", ".join(f"'{_q(t)}'" for t in sorted(set(exclude_terms)))
+        where += f" AND term NOT IN ({lst})"
+    if scheme == "trad":
+        wt_expr = f"""c.mult * ln(
+      ((c.r + 0.5) * (g.n_docs - st.df - (c.rsize - c.r) + 0.5))
+      / ((st.df - c.r + 0.5) * ((c.rsize - c.r) + 0.5)))"""
+    elif scheme == "bo1":
+        wt_expr = """c.rcf * log2((1 + st.cf / g.n_docs)
+                     / (st.cf / g.n_docs))
+      + log2(1 + st.cf / g.n_docs)"""
+    else:
+        raise ValueError(f"unknown eset scheme {scheme!r}")
+    base = _BASE_CTES.format(root=termrows_root(), digest=_DIGEST_EXPR)
+    guard = ("SELECT CAST(NULL AS VARCHAR) AS term, "
+             "CAST(error('xq term-rows export missing for this corpus: "
+             "run mdq_spark.xq_oracle.ensure_termrows(sf_dir) first') "
+             "AS DOUBLE) AS wt, CAST(NULL AS DOUBLE) AS rawwt "
+             "WHERE (SELECT count(*) FROM tr) = 0")
+    return f"""WITH {base},
+rel AS (
+  SELECT tr.term, greatest(tr.wdf, 1)::DOUBLE AS wdf0, dl.doclen
+  FROM tr JOIN dl USING (doc_id) WHERE tr.doc_id IN ({ids})
+),
+c AS (
+  SELECT term, {len(set(int(d) for d in rset_ids))}::DOUBLE AS rsize,
+         count(*)::DOUBLE AS r, sum(wdf0) AS rcf,
+         sum(({k} + 1.0) * wdf0 / ({k} * doclen / g.avgdl + wdf0)) AS mult
+  FROM rel, g GROUP BY term
+),
+st AS (
+  SELECT term, count(*)::DOUBLE AS df, sum(wdf)::DOUBLE AS cf
+  FROM tr GROUP BY term
+),
+w AS (
+  SELECT c.term, {wt_expr} AS rawwt
+  FROM c JOIN st USING (term), g
+)
+SELECT term, wt FROM (
+  (SELECT term, CAST(round(rawwt, 4) AS DOUBLE) AS wt, rawwt
+   FROM w {where}
+   ORDER BY rawwt DESC, term ASC LIMIT {int(maxitems)})
+  UNION ALL ({guard})
+) ORDER BY rawwt DESC, term ASC
+"""
