@@ -532,6 +532,11 @@ ESET_TRAD_RSET = [1, 2, 3, 4, 5]
 ESET_TRAD_QUERY = "sort merge"
 ESET_BO1_RSET = [2, 4, 6, 8]
 
+# get_matching_terms (omenquire.cc:675-708): doc 1's termlist
+# intersected with the query's ordered term map
+MATCHING_TERMS_QUERY = "sort merge join fast"
+MATCHING_TERMS_DOC = 1
+
 
 def _xq_eset(rset: list[int], maxitems: int, scheme: str,
              query: str | None = None):
@@ -627,6 +632,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["xq_eset_trad"] = _xq_eset(ESET_TRAD_RSET, 20, "trad",
                                  query=ESET_TRAD_QUERY)
     q["xq_eset_bo1"] = _xq_eset(ESET_BO1_RSET, 15, "bo1")
+
+    def _xq_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .xq_oracle import ensure_termrows
+        try:
+            ensure_termrows(sf_dir)
+        except OSError:
+            pass
+        s = ensure_index(spark, sf_dir, "xapian")
+        return s.get_matching_terms(MATCHING_TERMS_QUERY,
+                                    MATCHING_TERMS_DOC)
+    q["xq_matching_terms"] = _xq_matching
 
     # dedup / fingerprint
     q["dedup_exact"] = lambda sp, d: datapipe.exact_dedup(
@@ -892,6 +908,9 @@ def oracle_sql() -> dict[str, str]:
         ESET_TRAD_RSET, 20, "trad",
         exclude_terms=query_exclude_terms(ESET_TRAD_QUERY))
     o["xq_eset_bo1"] = eset_oracle_sql(ESET_BO1_RSET, 15, "bo1")
+    from .xq_oracle import matching_terms_oracle_sql
+    o["xq_matching_terms"] = matching_terms_oracle_sql(
+        MATCHING_TERMS_QUERY, MATCHING_TERMS_DOC)
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_sha,

@@ -1527,6 +1527,32 @@ class Searcher:
                        expand_k=expand_k, min_wt=min_wt,
                        exclude_terms=exclude or None)
 
+    def get_matching_terms(self, query: str, doc_id: int) -> DataFrame:
+        """Terms of document ``doc_id`` that also occur in ``query``,
+        ordered by the term's first occurrence in the query
+        (Enquire::get_matching_terms, omenquire.cc:675-708: the
+        termlist is intersected with the query's term map and sorted
+        by ByQueryIndexCmp).  Returns (term, qindex); wildcard
+        patterns contribute no terms (the Xapian query object holds
+        the unexpanded pattern).  One pushed-down scan of the forward
+        termlist — doc_id and the small term set both reach the
+        parquet reader."""
+        from .eset import _termlist, query_exclude_terms
+        order: dict[str, int] = {}
+        for t in query_exclude_terms(query):
+            order.setdefault(t, len(order) + 1)
+        if not order:
+            return self.spark.createDataFrame(
+                [], "term string, qindex long")
+        qmap = F.create_map(*[F.lit(x) for kv in order.items()
+                              for x in kv])
+        return (_termlist(self)
+                .filter((F.col("doc_id") == int(doc_id))
+                        & F.col("term").isin(list(order)))
+                .select("term", qmap[F.col("term")]
+                        .cast("long").alias("qindex"))
+                .orderBy("qindex"))
+
     # Serialization projections (P3, src/document.rs:248-284): which
     # fields each output mode carries.
     SERIALIZATIONS = {

@@ -438,6 +438,31 @@ def xq_oracle_sql(query: str, k: int = 10) -> str:
             f") ORDER BY s DESC, doc_id ASC\n")
 
 
+def matching_terms_oracle_sql(query: str, doc_id: int) -> str:
+    """DuckDB SQL equivalent of ``Searcher.get_matching_terms``: the
+    doc's term rows intersected with the query's ordered term map
+    (omenquire.cc:675-708), output ``(term, qindex)``."""
+    from .eset import query_exclude_terms
+    order: dict[str, int] = {}
+    for t in query_exclude_terms(query):
+        order.setdefault(t, len(order) + 1)
+    vals = ", ".join(f"('{_q(t)}', {i})" for t, i in order.items())
+    base = _BASE_CTES.format(root=termrows_root(), digest=_DIGEST_EXPR)
+    guard = ("SELECT CAST(NULL AS VARCHAR) AS term, "
+             "CAST(error('xq term-rows export missing for this corpus: "
+             "run mdq_spark.xq_oracle.ensure_termrows(sf_dir) first') "
+             "AS BIGINT) AS qindex "
+             "WHERE (SELECT count(*) FROM tr) = 0")
+    return f"""WITH {base},
+q(term, qindex) AS (VALUES {vals})
+SELECT term, qindex FROM (
+  (SELECT q.term, q.qindex::BIGINT AS qindex
+   FROM tr JOIN q USING (term) WHERE tr.doc_id = {int(doc_id)})
+  UNION ALL ({guard})
+) ORDER BY qindex
+"""
+
+
 def eset_oracle_sql(rset_ids: list[int], maxitems: int = 20,
                     scheme: str = "trad", expand_k: float = 1.0,
                     min_wt: float = 0.0,

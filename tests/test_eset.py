@@ -148,13 +148,32 @@ def test_eset_plan_shape(spark, xq_searcher):
 
 
 def test_eset_driver_entries_hash_match(spark, con):
-    """The two registered driver entries agree with their oracle SQL
+    """The registered driver entries agree with their oracle SQL
     exactly as CORRECTNESS will compare them."""
     import __spark_entry__ as entry
     qs, osql = entry.queries(), entry.oracle_sql()
-    for name in ("xq_eset_trad", "xq_eset_bo1"):
-        srows = sorted((r["term"], r["wt"])
-                       for r in qs[name](spark, SF_DIR).collect())
-        drows = sorted((t, float(w))
-                       for t, w in con.execute(osql[name]).fetchall())
-        assert srows == drows, name
+    for name in ("xq_eset_trad", "xq_eset_bo1", "xq_matching_terms"):
+        srows = sorted(tuple(r) for r in qs[name](spark, SF_DIR).collect())
+        drows = sorted(tuple(r) for r in con.execute(osql[name]).fetchall())
+        assert srows == drows and srows, name
+
+
+def test_matching_terms(spark, xq_searcher, con):
+    """get_matching_terms: intersection with the query's term map,
+    ordered by first occurrence in the query (duplicate query terms
+    keep their first index — omenquire.cc:696-698)."""
+    rows = xq_searcher.get_matching_terms(
+        "merge sort merge fast", 1).collect()
+    assert rows, "doc 1 shares no terms with the query?"
+    # ordered by query position; Zmerg (first occurrence) before Zsort
+    idx = [r["qindex"] for r in rows]
+    assert idx == sorted(idx)
+    terms = [r["term"] for r in rows]
+    if "Zmerg" in terms and "Zsort" in terms:
+        assert terms.index("Zmerg") < terms.index("Zsort")
+    # doc with no query terms -> empty
+    from mdq_spark.xq_oracle import matching_terms_oracle_sql
+    want = con.execute(matching_terms_oracle_sql(
+        "merge sort merge fast", 1)).fetchall()
+    assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in want)
+    assert xq_searcher.get_matching_terms("xyzzynotaterm", 1).count() == 0
