@@ -335,3 +335,29 @@ def test_auto_compact_folds_tombstones(spark, tmp_path_factory):
     oracle = OracleIndex.build(FINAL)
     for q in QUERIES:
         assert_results_match(oracle.search(q), s.search(q))
+
+
+def test_eset_parity_after_upsert(spark, upserted, tmp_path_factory):
+    """get_eset / get_matching_terms over an upserted index must equal
+    the same calls over a from-scratch build of the final corpus: the
+    forward-termlist read honors committed gens + tombstones, and the
+    dict stats fold the tombstone deltas (mdq_spark/eset.py)."""
+    out, _ = upserted
+    fresh = str(tmp_path_factory.mktemp("eset_fresh"))
+    build_index(spark, spark.createDataFrame(FINAL, schema=DOCS_SCHEMA),
+                fresh, block_span=4, n_buckets=8)
+    s_up, s_fr = Searcher(spark, out), Searcher(spark, fresh)
+    rset = [1, 5, 7]
+    for scheme in ("trad", "bo1"):
+        got = [(r["term"], round(r["wt"], 9)) for r in
+               s_up.get_eset(rset, maxitems=30, scheme=scheme,
+                             query="beta").collect()]
+        want = [(r["term"], round(r["wt"], 9)) for r in
+                s_fr.get_eset(rset, maxitems=30, scheme=scheme,
+                              query="beta").collect()]
+        assert got == want and got, scheme
+    gm = [tuple(r) for r in
+          s_up.get_matching_terms("zeta alpha", 7).collect()]
+    fm = [tuple(r) for r in
+          s_fr.get_matching_terms("zeta alpha", 7).collect()]
+    assert gm == fm and gm
