@@ -337,12 +337,18 @@ def test_auto_compact_folds_tombstones(spark, tmp_path_factory):
         assert_results_match(oracle.search(q), s.search(q))
 
 
-def test_eset_parity_after_upsert(spark, upserted, tmp_path_factory):
+def test_eset_parity_after_upsert(spark, tmp_path_factory):
     """get_eset / get_matching_terms over an upserted index must equal
     the same calls over a from-scratch build of the final corpus: the
     forward-termlist read honors committed gens + tombstones, and the
-    dict stats fold the tombstone deltas (mdq_spark/eset.py)."""
-    out, _ = upserted
+    dict stats fold the tombstone deltas (mdq_spark/eset.py).
+
+    Builds its own index: the module's ``upserted`` fixture is mutated
+    again by test_second_upsert, so it is not FINAL-shaped here."""
+    out = str(tmp_path_factory.mktemp("eset_ups"))
+    build_index(spark, spark.createDataFrame(V1, schema=DOCS_SCHEMA),
+                out, block_span=4, n_buckets=8)
+    upsert(spark, out, spark.createDataFrame(BATCH, schema=DOCS_SCHEMA))
     fresh = str(tmp_path_factory.mktemp("eset_fresh"))
     build_index(spark, spark.createDataFrame(FINAL, schema=DOCS_SCHEMA),
                 fresh, block_span=4, n_buckets=8)
