@@ -64,17 +64,14 @@ def test_eset_bo1_matches_duckdb(spark, xq_searcher, con):
     assert len(got) == 15
 
 
-def test_eset_pure_python_trad(spark, xq_searcher):
-    """Independent recompute straight from tokenize output: for a
-    1-doc rset the weights must match tradeweight.cc's formula applied
-    by hand (no SQL, no Spark aggregation in the oracle)."""
+def _py_corpus():
+    """(term->wdf per doc, doclen per doc) straight from tokenize."""
     from mdq_spark.corpus import doc_from_documents_row
     from mdq_spark.tokenize import document_term_rows
     import pyarrow.parquet as pq
     tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
                         columns=["doc_id", "text", "lang", "source"])
-    rows = {}
-    doclen = {}
+    rows, doclen = {}, {}
     for did, text, lang, source in zip(*(tbl.column(c).to_pylist()
                                          for c in ("doc_id", "text",
                                                    "lang", "source"))):
@@ -82,28 +79,64 @@ def test_eset_pure_python_trad(spark, xq_searcher):
         agg, dl = document_term_rows(doc)
         rows[doc["doc_id"]] = {t: e[0] for t, e in agg.items()}
         doclen[doc["doc_id"]] = dl
+    return rows, doclen
+
+
+def _py_eset(rows, doclen, rset, maxitems, scheme, expand_k=1.0,
+             min_wt=0.0):
+    """Brute-force recompute of tradeweight.cc / bo1eweight.cc over
+    the tokenize output (no Spark, no SQL)."""
     N = len(rows)
     avlen = sum(doclen.values()) / N
-    df = {}
+    df: dict = {}
+    cf: dict = {}
     for tmap in rows.values():
-        for t in tmap:
+        for t, w in tmap.items():
             df[t] = df.get(t, 0) + 1
-    rset = [7]
-    R = 1.0
+            cf[t] = cf.get(t, 0) + w
+    R = float(len(rset))
+    stats: dict = {}
+    for d in rset:
+        for t, wdf in rows[d].items():
+            wdf0 = max(wdf, 1)
+            r, rcf, mult = stats.get(t, (0.0, 0.0, 0.0))
+            stats[t] = (r + 1.0, rcf + wdf0,
+                        mult + (expand_k + 1.0) * wdf0
+                        / (expand_k * doclen[d] / avlen + wdf0))
     exp = {}
-    for t, wdf in rows[rset[0]].items():
-        wdf0 = max(wdf, 1)
-        mult = 2.0 * wdf0 / (doclen[rset[0]] / avlen + wdf0)
-        r = 1.0
-        n = df[t]
-        tw = math.log((r + 0.5) * (N - n - (R - r) + 0.5)
-                      / ((n - r + 0.5) * ((R - r) + 0.5)))
-        wt = mult * tw
-        if wt > 0:
+    for t, (r, rcf, mult) in stats.items():
+        if scheme == "trad":
+            n = df[t]
+            tw = math.log((r + 0.5) * (N - n - (R - r) + 0.5)
+                          / ((n - r + 0.5) * ((R - r) + 0.5)))
+            wt = mult * tw
+        else:
+            m = cf[t] / N
+            wt = rcf * math.log2((1 + m) / m) + math.log2(1 + m)
+        if wt > min_wt:
             exp[t] = wt
-    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-    want = sorted((t, round(w, 4)) for t, w in want)
-    got = _engine(xq_searcher, rset, 10, "trad")
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:maxitems]
+    return sorted((t, round(w, 4)) for t, w in want)
+
+
+RSETS = [
+    [7],
+    [1, 250, 499],
+    list(range(10, 27)),
+    list(range(1, 101, 3)),
+]
+
+
+@pytest.mark.parametrize("rset", RSETS)
+@pytest.mark.parametrize("scheme,k", [("trad", 1.0), ("trad", 0.35),
+                                      ("bo1", 1.0)])
+def test_eset_pure_python_battery(spark, xq_searcher, rset, scheme, k):
+    """Independent brute-force recompute straight from tokenize output
+    across varied rset shapes, both schemes, and a non-default
+    expand_k (Enquire::set_expansion_scheme's knob)."""
+    rows, doclen = _py_corpus()
+    want = _py_eset(rows, doclen, rset, 12, scheme, expand_k=k)
+    got = _engine(xq_searcher, rset, 12, scheme, expand_k=k)
     assert got == want
 
 
