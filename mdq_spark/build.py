@@ -162,7 +162,8 @@ def _varint(n: int) -> bytes:
     return bytes(out)
 
 
-def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
+def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian",
+                      cjk_ngram: bool = False):
     """mapInPandas kernel: docs rows -> per-(doc, term) rows, map-side
     pre-aggregated (wdf summed, positions gap-varint-encoded as they
     arrive) so the shuffle moves one small binary blob per (doc, term),
@@ -172,7 +173,7 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian"):
 
     def agg_doc(doc: dict):
         if mode != "simple":
-            return document_term_rows(doc)
+            return document_term_rows(doc, cjk_ngram=cjk_ngram)
         agg: dict = {}
         doclen = 0
         for term, pos, wdf_inc in simple_terms(doc.get("body")):
@@ -590,19 +591,26 @@ class IndexBuilder:
                  block_span: int = DEFAULT_BLOCK_SPAN,
                  n_buckets: int = DEFAULT_N_BUCKETS,
                  mode: str = "xapian",
-                 spelling: bool = False):
+                 spelling: bool = False,
+                 cjk_ngram: bool = False):
         """``spelling``: materialize the spelling fragment table at the
         end of the build (VERDICT r03 #6) so a cold index answers its
         first suggest() from the prebuilt bucketed table instead of the
         on-the-fly dictionary fallback.  Off by default — it is a
         maintenance artifact like compact, and build benchmarks measure
-        the index pipeline."""
+        the index pipeline.
+
+        ``cjk_ngram``: index with Xapian's FLAG_CJK_NGRAM semantics
+        (tokenize.parse_terms); recorded in the manifest so queries and
+        upserts pick the same tokenizer mode.  Off by default — the
+        reference never enables the flag."""
         self.spark = spark
         self.out = out_dir.rstrip("/")
         self.block_span = block_span
         self.n_buckets = n_buckets
         self.mode = mode
         self.spelling = spelling
+        self.cjk_ngram = cjk_ngram
         self.metrics: dict = {}
 
     def path(self, name: str) -> str:
@@ -671,7 +679,7 @@ class IndexBuilder:
             t0 = time.time()
             terms = docs.drop("gen").mapInPandas(
                 _tokenize_batches(self.n_buckets, self.block_span,
-                                  self.mode),
+                                  self.mode, self.cjk_ngram),
                 schema=TERMS_SCHEMA)
             terms.withColumn("gen", F.lit(0)) \
                 .write.mode("overwrite").parquet(p_terms)
@@ -852,6 +860,7 @@ class IndexBuilder:
         manifest = {
             "format_version": FORMAT_VERSION,
             "mode": self.mode,
+            "cjk_ngram": self.cjk_ngram,
             "block_span": self.block_span,
             "n_buckets": self.n_buckets,
             "globalstats": {k: (float(v) if v is not None else None)

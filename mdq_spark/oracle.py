@@ -73,14 +73,17 @@ class OracleIndex:
         return (sum(self.doclen.values()) / self.N) if self.N else 0.0
 
     @classmethod
-    def build(cls, docs: Iterable[dict]) -> "OracleIndex":
+    def build(cls, docs: Iterable[dict],
+              cjk_ngram: bool = False) -> "OracleIndex":
         """Index documents (dicts with doc_id/fullpath/title/... keys)."""
         idx = cls()
+        idx.cjk_ngram = cjk_ngram
         for doc in docs:
             did = doc["doc_id"]
             idx.docs[did] = doc
             total = 0
-            for term, pos, wdf_inc in document_terms(doc):
+            for term, pos, wdf_inc in document_terms(doc,
+                                                     cjk_ngram=cjk_ngram):
                 total += wdf_inc
                 pl = idx.postings.setdefault(term, {})
                 pl[did] = pl.get(did, 0) + wdf_inc
@@ -386,7 +389,8 @@ class OracleIndex:
         excluded before ranking.  ``percent_cutoff`` mirrors
         Enquire::set_cutoff(percent) (omenquire.cc:872-876).
         """
-        node = parse_user_query(query)
+        node = parse_user_query(query,
+                                cjk_ngram=getattr(self, "cjk_ngram", False))
         weights = self.evaluate(node)
         if predicate is not None:
             weights = {d: w for d, w in weights.items()
@@ -415,14 +419,16 @@ class OracleIndex:
         return pick_suggestion(word, candidates, max_edit_distance)
 
     def match_counts(self, query: str) -> dict:
-        n = len(self.evaluate(parse_user_query(query)))
+        n = len(self.evaluate(parse_user_query(
+            query, cjk_ngram=getattr(self, "cjk_ngram", False))))
         return {"matches_lower_bound": n, "matches_estimated": n,
                 "matches_upper_bound": n}
 
     def collapse(self, query: str, key: str,
                  k: int = DEFAULT_K) -> list[tuple[int, object, float]]:
         """Best-scoring doc per docs[key] value, then top-k."""
-        weights = self.evaluate(parse_user_query(query))
+        weights = self.evaluate(parse_user_query(
+            query, cjk_ngram=getattr(self, "cjk_ngram", False)))
         best: dict = {}
         for d, w in sorted(weights.items(),
                            key=lambda kv: (-kv[1], kv[0])):

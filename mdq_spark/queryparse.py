@@ -51,7 +51,7 @@ from .plan import (
     combine,
 )
 from .stem import stem
-from .tokenize import MAX_WORD_LENGTH, parse_terms, _should_stem
+from .tokenize import MAX_WORD_LENGTH, cjk_grams, parse_terms, _should_stem
 
 
 class EmptyExpression(ValueError):
@@ -137,11 +137,13 @@ def _lex_chunk(text: str):
 
 
 class _ChunkParser:
-    def __init__(self, items, prefix: str, partial: bool):
+    def __init__(self, items, prefix: str, partial: bool,
+                 cjk_ngram: bool = False):
         self.items = items
         self.k = 0
         self.prefix = prefix
         self.partial = partial
+        self.cjk_ngram = cjk_ngram
         self.pos = 0  # query-side term position counter
 
     def peek(self):
@@ -155,14 +157,47 @@ class _ChunkParser:
     # -- term construction ---------------------------------------------
 
     def _words_of(self, piece: str):
-        return [t.term for t in parse_terms(piece)
-                if len(t.term.encode("utf-8")) <= MAX_WORD_LENGTH]
+        """Word segments of a piece as (word, is_cjk) pairs.  With
+        FLAG_CJK_NGRAM a whole CJK run is ONE segment, exactly like
+        ``QueryParser::Internal::parse_term`` (queryparser_internal.cc:
+        748-753); the 64-byte cap never applies to CJK runs (the parser
+        splits them into <=8-byte grams, never looking up the run)."""
+        return [(t.term, t.cjk)
+                for t in parse_terms(piece, cjk_ngram=self.cjk_ngram,
+                                     cjk_runs=self.cjk_ngram)
+                if t.cjk or len(t.term.encode("utf-8")) <= MAX_WORD_LENGTH]
 
     def _make_term(self, word: str, capitalized: bool, in_phrase: bool) -> Term:
         self.pos += 1
         if in_phrase or capitalized or not _should_stem(word):
             return Term(self.prefix + word, self.pos)
         return Term("Z" + self.prefix + stem(word), self.pos)
+
+    def _make_cjk_node(self, run: str) -> Node:
+        """``Term::as_cjk_query`` (queryparser_internal.cc:532-548): AND
+        of every gram (unigrams + bigrams, iterator order), all sharing
+        ONE query position, unstemmed, prefix applied to each gram."""
+        self.pos += 1
+        terms = tuple(Term(self.prefix + g.term, self.pos)
+                      for g in cjk_grams(run))
+        if len(terms) == 1:
+            return terms[0]
+        return Bool("AND", terms)
+
+    def _positional_members(self, words) -> list[Term]:
+        """Phrase members: a CJK segment contributes one positional term
+        per CHARACTER (``Term::as_positional_cjk_term``,
+        queryparser_internal.cc:1158-1170); others one term each."""
+        terms: list[Term] = []
+        for w, is_cjk in words:
+            if is_cjk:
+                for c in w:
+                    self.pos += 1
+                    terms.append(Term(self.prefix + c, self.pos))
+            else:
+                self.pos += 1
+                terms.append(Term(self.prefix + w, self.pos))
+        return terms
 
     def _piece_node(self, piece: str, at_end: bool) -> Node:
         wildcard = piece.endswith("*")
@@ -172,17 +207,19 @@ class _ChunkParser:
         if not words:
             return NOTHING
         capitalized = piece[:1].isupper()
-        if wildcard and len(words) == 1:
+        if wildcard and len(words) == 1 and not words[0][1]:
             self.pos += 1
-            return Wildcard(self.prefix + words[0])
+            return Wildcard(self.prefix + words[0][0])
         if len(words) > 1:
             # implicit phrase: punctuation-joined words, unstemmed
-            terms = []
-            for w in words:
-                self.pos += 1
-                terms.append(Term(self.prefix + w, self.pos))
+            terms = self._positional_members(words)
             return Positional("PHRASE", tuple(terms), len(terms))
-        word = words[0]
+        word, is_cjk = words[0]
+        if is_cjk:
+            # CJKTERM bypasses both FLAG_WILDCARD and FLAG_PARTIAL: the
+            # lexer Parse()s it before the '*'/partial handling
+            # (queryparser_internal.cc:3407-3411), so "中文*" == "中文"
+            return self._make_cjk_node(word)
         if self.partial and at_end:
             # FLAG_PARTIAL: trailing word -> (WILDCARD SYNONYM w OR Zw@pos)
             leaf = self._make_term(word, capitalized, in_phrase=False)
@@ -193,13 +230,9 @@ class _ChunkParser:
         words = self._words_of(content)
         if not words:
             return NOTHING
-        if len(words) == 1:
-            self.pos += 1
-            return Term(self.prefix + words[0], self.pos)
-        terms = []
-        for w in words:
-            self.pos += 1
-            terms.append(Term(self.prefix + w, self.pos))
+        terms = self._positional_members(words)
+        if len(terms) == 1:
+            return terms[0]
         return Positional("PHRASE", tuple(terms), len(terms))
 
     # -- grammar ---------------------------------------------------------
@@ -300,12 +333,13 @@ class _ChunkParser:
         return base
 
 
-def parse_chunk(text: str, prefix: str = "", partial: bool = True) -> Node:
+def parse_chunk(text: str, prefix: str = "", partial: bool = True,
+                cjk_ngram: bool = False) -> Node:
     """Xapian-QueryParser-subset parse of one chunk (``qp.parse_query``)."""
     items = _lex_chunk(text)
     if not items:
         return NOTHING
-    return _ChunkParser(items, prefix, partial).parse()
+    return _ChunkParser(items, prefix, partial, cjk_ngram).parse()
 
 
 # ---------------------------------------------------------------------------
@@ -436,19 +470,27 @@ def _parse_field_token(token: str):
     return None
 
 
-def _span_into_query(token: str) -> Node:
+def _span_into_query(token: str, cjk_ngram: bool = False) -> Node:
     """span_into_query (xapian_utils.rs:442-453)."""
     parsed = _parse_field_token(token)
     if parsed is not None:
         prefix, value = parsed
-        return parse_chunk(value, prefix=prefix)
-    return parse_chunk(token)
+        return parse_chunk(value, prefix=prefix, cjk_ngram=cjk_ngram)
+    return parse_chunk(token, cjk_ngram=cjk_ngram)
 
 
-def expression_into_query(text: str) -> Node:
+def expression_into_query(text: str, cjk_ngram: bool = False) -> Node:
     """expression_into_query (xapian_utils.rs:455-479): split into
     tokens, parse each, OR-fold.  Whitespace-only tokens are skipped —
-    except the first, which parses to an empty query (faithful quirk)."""
+    except the first, which parses to an empty query (faithful quirk).
+
+    N.B. every nom combinator here (word, quoted, tagged) only accepts
+    ``[A-Za-z0-9_]`` word chars — CJK text in a FINAL chunk is an
+    unmatchable char that stops ``many1`` and is silently dropped
+    BEFORE Xapian's QueryParser would see it, flag or no flag
+    (xapian_utils.rs:434-479).  ``cjk_ngram`` therefore only takes
+    effect in intermediate chunks ("中文 AND x"), which bypass this
+    layer and go straight to the chunk parser."""
     tokens = scan_expression(text)
     if tokens is None:
         return parse_chunk("")  # expression failed -> empty query
@@ -457,11 +499,11 @@ def expression_into_query(text: str) -> Node:
         first = next(it)
     except StopIteration:
         raise EmptyExpression("Empty expression")
-    query = _span_into_query(first)
+    query = _span_into_query(first, cjk_ngram)
     for token in it:
         if token.isspace():
             continue
-        query = combine("OR", query, _span_into_query(token))
+        query = combine("OR", query, _span_into_query(token, cjk_ngram))
     return query
 
 
@@ -503,7 +545,8 @@ def _matchop(s: str):
 _NUM_RE = re.compile(r"\s*([0-9]+(?:\.[0-9]+)?)\s*(?:;\s*)?$")
 
 
-def _add_right(op: str, left: Node, right_text: str, final: bool) -> Node:
+def _add_right(op: str, left: Node, right_text: str, final: bool,
+               cjk_ngram: bool = False) -> Node:
     """query.add_right(op, parse(rhs)) with the reference's chunk routing:
     intermediate rhs chunks go to the chunk parser, the final chunk to
     expression_into_query (xapian_utils.rs:616-637)."""
@@ -518,30 +561,35 @@ def _add_right(op: str, left: Node, right_text: str, final: bool) -> Node:
         # nothing against its index (SURVEY.md Q14): FILTER with an empty
         # value set -> MatchNothing
         return combine("FILTER", left, ValueRange(op, right_text.strip()))
-    rhs = expression_into_query(right_text) if final \
-        else parse_chunk(right_text)
+    rhs = expression_into_query(right_text, cjk_ngram) if final \
+        else parse_chunk(right_text, cjk_ngram=cjk_ngram)
     if op in ("PHRASE", "NEAR"):
         return combine(op, left, rhs)
     return combine(op, left, rhs)
 
 
-def parse_user_query(qstr: str, append_hint: bool = True) -> Node:
+def parse_user_query(qstr: str, append_hint: bool = True,
+                     cjk_ngram: bool = False) -> Node:
     """Full user-query parse (parse_user_query, xapian_utils.rs:578-654).
 
     ``append_hint`` mirrors the interactive loop's ``input + " ;"``
     (src/interactive.rs:414-416); pass False to parse a raw string the
     way the reference's unit tests call expression_into_query.
+
+    ``cjk_ngram`` enables Xapian's FLAG_CJK_NGRAM in the chunk-parser
+    layer (see parse_chunk); the nom expression layer's CJK-dropping
+    behavior is flag-independent (see expression_into_query).
     """
     if append_hint:
         qstr = qstr + " ;"
     first = _take_up_to_operator(qstr)
     if first is None:
-        return expression_into_query(qstr)
+        return expression_into_query(qstr, cjk_ngram)
     matched, rest = first
-    query = parse_chunk(matched)
+    query = parse_chunk(matched, cjk_ngram=cjk_ngram)
     mo = _matchop(rest)
     if mo is None:  # unreachable in reference (found op guarantees match)
-        return expression_into_query(qstr)
+        return expression_into_query(qstr, cjk_ngram)
     operator, qstr = mo
 
     depth = 0
@@ -549,10 +597,12 @@ def parse_user_query(qstr: str, append_hint: bool = True) -> Node:
         depth += 1
         nxt = _take_up_to_operator(qstr)
         if nxt is None:
-            query = _add_right(operator, query, qstr, final=True)
+            query = _add_right(operator, query, qstr, final=True,
+                               cjk_ngram=cjk_ngram)
             break
         matched, rest = nxt
-        query = _add_right(operator, query, matched, final=False)
+        query = _add_right(operator, query, matched, final=False,
+                           cjk_ngram=cjk_ngram)
         qstr = rest
         mo = _matchop(qstr)
         if mo is None:

@@ -487,6 +487,9 @@ class Searcher:
         self.doclen_lb = int(gs["doclen_lb"] or 0)
         self.lf = bm25.len_factor(self.avg_doclen)
         self.n_buckets = int(self.manifest["n_buckets"])
+        # tokenizer mode flag recorded at build time: queries must
+        # parse with the same FLAG_CJK_NGRAM setting the index used
+        self.cjk_ngram = bool(self.manifest.get("cjk_ngram", False))
         # MVCC visibility (format v3): only rows whose gen the manifest
         # has committed are readable — a crashed upsert's appends stay
         # invisible (the manifest write is the commit point)
@@ -1338,7 +1341,7 @@ class Searcher:
         where percent_scale = (subqueries matched by the greatest-weight
         doc / total subqueries) / greatest weight.  Disables pruning —
         the cutoff floor can sit below the top-k pruning threshold."""
-        node = parse_user_query(query)
+        node = parse_user_query(query, cjk_ngram=self.cjk_ngram)
         terms: set = set()
         patterns: set = set()
         self._walk(node, terms, patterns)
@@ -1387,7 +1390,7 @@ class Searcher:
         """Match-count estimate API (A4): Xapian reports lower/estimate/
         upper bounds (omenquire.cc:245-287); counting is cheap for us so
         all three are the exact count."""
-        node = parse_user_query(query)
+        node = parse_user_query(query, cjk_ngram=self.cjk_ngram)
         terms: set = set()
         patterns: set = set()
         self._walk(node, terms, patterns)
@@ -1404,7 +1407,7 @@ class Searcher:
         """Collapse (O5): keep the best-scoring doc per ``key`` column of
         the docs table (Enquire::set_collapse_key), then top-k."""
         from pyspark.sql import Window
-        node = parse_user_query(query)
+        node = parse_user_query(query, cjk_ngram=self.cjk_ngram)
         terms: set = set()
         patterns: set = set()
         self._walk(node, terms, patterns)
@@ -1445,7 +1448,7 @@ class Searcher:
         terms: set = set()
         patterns: set = set()
         for qid, q in queries.items():
-            nodes[qid] = parse_user_query(q)
+            nodes[qid] = parse_user_query(q, cjk_ngram=self.cjk_ngram)
             self._walk(nodes[qid], terms, patterns)
         shared_dict = self._dict_lookup(sorted(terms), sorted(patterns))
         allowed = (self.docs.filter(filters).select("doc_id")

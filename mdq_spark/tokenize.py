@@ -25,8 +25,28 @@ Semantics reproduced exactly:
   terms whose first char is not a lowercase-able letter are not stemmed
   (``should_stem``, ``termgenerator_internal.cc:63-73``).
 
-CJK n-gram mode is intentionally out of scope (corpus is source code;
-SURVEY.md §7 descope list).
+CJK handling has two faithful modes:
+
+* default (``cjk_ngram=False``): CJK codepoints are plain word chars
+  (category Lo) and an unbroken CJK run is ONE term — the behavior the
+  reference actually exhibits, since it never sets FLAG_CJK_NGRAM nor
+  the XAPIAN_CJK_NGRAM env var (xapian_utils.rs:584-591).
+* flagged (``cjk_ngram=True``): Xapian's FLAG_CJK_NGRAM branch
+  (termgenerator_internal.cc:177-196 + cjk-tokenizer.cc): a CJK run is
+  split by ``CJKTokenIterator`` into interleaved unigrams and bigrams
+  (c1, c1c2, c2, c2c3, ..., cN); unigrams carry positions, bigrams are
+  wdf-only (``action(term, with_positions && tk.unigram())``); a
+  non-CJK term also ends at a CJK codepoint boundary
+  (``goto endofterm``); CJK grams are NOT lowercased on the index side
+  (CJKTokenIterator appends raw codepoints — matters only for the
+  fullwidth-Latin block FF00-FFEF, faithfully reproduced); STEM_SOME
+  Z-twins are emitted for grams exactly like other terms (category Lo
+  passes should_stem; the Snowball English stemmer is an identity on
+  CJK).  Quirks reproduced: a term pending when a CJK span starts
+  (reachable via an accepted infix, e.g. ``a'中b``) survives the span
+  un-emitted and keeps accumulating after it — and is silently dropped
+  when input ends inside/right after the span (the C++ ``return``
+  inside the branch's skip loop).
 """
 
 from __future__ import annotations
@@ -88,16 +108,59 @@ def _is_upper_ascii(ch: str) -> bool:
 class Token(NamedTuple):
     term: str
     positional: bool
+    cjk: bool = False
 
 
-def parse_terms(text: str) -> Iterator[Token]:
+def _is_cjk_codepoint(ch: str) -> bool:
+    """``CJK::codepoint_is_cjk`` (cjk-tokenizer.cc:69-84), including its
+    quirks (e.g. the Kangxi-radical block 2F00-2FDF is NOT listed)."""
+    o = ord(ch)
+    if o < 0x2E80:
+        return False
+    return (o <= 0x2EFF
+            or 0x3000 <= o <= 0x9FFF
+            or 0xA700 <= o <= 0xA71F
+            or 0xAC00 <= o <= 0xD7AF
+            or 0xF900 <= o <= 0xFAFF
+            or 0xFE30 <= o <= 0xFE4F
+            or 0xFF00 <= o <= 0xFFEF
+            or 0x20000 <= o <= 0x2A6DF
+            or 0x2F800 <= o <= 0x2FA1F)
+
+
+def cjk_grams(run: str) -> list[Token]:
+    """``CJKTokenIterator`` emission order over one CJK run: unigrams and
+    bigrams interleaved — c1, c1c2, c2, c2c3, ..., cN (cjk-tokenizer.cc:
+    96-129).  Unigrams are positional (``with_positions && tk.unigram()``,
+    termgenerator_internal.cc:183); bigrams are wdf-only."""
+    out = []
+    n = len(run)
+    for k in range(n):
+        out.append(Token(run[k], True, True))
+        if k + 1 < n:
+            out.append(Token(run[k] + run[k + 1], False, True))
+    return out
+
+
+def parse_terms(text: str, cjk_ngram: bool = False,
+                cjk_runs: bool = False) -> Iterator[Token]:
     """Yield word tokens (already lowercased) in document order.
 
-    Mirrors ``parse_terms`` (termgenerator_internal.cc:140-247) minus the
-    CJK branch.  ``positional`` mirrors the ``with_positions`` flag and is
-    always True here; the STEM_SOME layer decides which emitted *terms*
-    carry positions.
+    Mirrors ``parse_terms`` (termgenerator_internal.cc:140-247).
+    ``positional`` mirrors the ``with_positions`` flag — always True
+    except for CJK bigrams in ``cjk_ngram`` mode; the STEM_SOME layer
+    decides which emitted *terms* carry positions.
+
+    ``cjk_ngram=True`` enables the FLAG_CJK_NGRAM branch (grams per
+    ``cjk_grams``).  ``cjk_runs=True`` (query side) yields each CJK run
+    as ONE lowercased Token(run, True, cjk=True) instead — mirroring
+    ``QueryParser::Internal::parse_term`` (queryparser_internal.cc:
+    748-753), where the whole run becomes a single CJKTERM (and is
+    tolower'd with the rest of the term at :3386, unlike the raw-case
+    index side).
     """
+    if cjk_runs:
+        cjk_ngram = True
     n = len(text)
     i = 0
     while True:
@@ -134,25 +197,67 @@ def parse_terms(text: str) -> Iterator[Token]:
                     continue
             term_chars = []
 
-        # main word loop with infix handling
+        # main word loop (C++ while(true), termgenerator_internal.cc:
+        # 176-225) with the CJK branch at the loop top and infix handling
         ch = _lower(text[i])
         while True:
-            prevch = ch
-            term_chars.append(ch)
-            i += 1
-            if i >= n:
-                break
-            nxt = text[i]
-            if _is_wordchar(nxt):
-                ch = _lower(nxt)
+            if cjk_ngram and _is_cjk_codepoint(text[i]) \
+                    and _is_wordchar(text[i]):
+                # CJK span.  NOTE: term_chars may be non-empty here (an
+                # accepted infix re-enters the loop top, e.g. "a'中b") —
+                # like the C++ `term` string it persists across the span
+                # un-emitted and keeps accumulating afterwards.
+                j = i
+                while j < n and _is_cjk_codepoint(text[j]) \
+                        and _is_wordchar(text[j]):
+                    j += 1
+                run = text[i:j]
+                i = j
+                if cjk_runs:
+                    yield Token("".join(_lower(c) for c in run), True, True)
+                else:
+                    yield from cjk_grams(run)
+                # skip to the next word char; end-of-input returns,
+                # dropping any pending term_chars (the C++ `return`
+                # inside the span's skip loop)
+                while True:
+                    if i >= n:
+                        return
+                    if _is_wordchar(text[i]):
+                        break
+                    i += 1
+                ch = _lower(text[i])
                 continue
+            # inner do-while: accumulate word chars
+            goto_endofterm = False
+            while True:
+                prevch = ch
+                term_chars.append(ch)
+                i += 1
+                if i >= n:
+                    goto_endofterm = True
+                    break
+                if cjk_ngram and _is_cjk_codepoint(text[i]):
+                    # C++ `goto endofterm` — skips suffix handling too,
+                    # but the suffix code is a no-op here anyway (a CJK
+                    # codepoint is a wordchar only when it would have
+                    # stripped the suffix, and never in "+#")
+                    goto_endofterm = True
+                    break
+                nxt = text[i]
+                if _is_wordchar(nxt):
+                    ch = _lower(nxt)
+                    continue
+                break
+            if goto_endofterm:
+                break
             # possible infix: one non-word char with a word char after it
             if i + 1 >= n:
                 break
             after = text[i + 1]
             if not _is_wordchar(after):
                 break
-            infix = nxt
+            infix = text[i]
             if _is_digit(prevch) and _is_digit(after):
                 if infix in _DIGIT_SEPS:
                     pass  # keep
@@ -173,6 +278,12 @@ def parse_terms(text: str) -> Iterator[Token]:
                 term_chars.append(infix)
             i += 1
             ch = _lower(text[i])
+            # loop back to the while(true) top — re-checks the CJK branch
+            # (C++ does the same: `ch = nextch; itor = next;` then falls
+            # through to the loop top)
+
+        if not term_chars:
+            continue
 
         # trailing '+'/'#' suffix, up to 3, not followed by a word char
         base_len = len(term_chars)
@@ -237,13 +348,16 @@ def index_text(
     prefix: str = "",
     start_pos: int = 0,
     wdf_inc: int = 1,
+    cjk_ngram: bool = False,
 ) -> tuple[list[tuple[str, Optional[int], int]], int]:
     """STEM_SOME emission for one text run.
 
     Returns ``(rows, cur_pos)`` where each row is
     ``(term, position-or-None, wdf_inc)``:
 
-    * ``prefix + token`` with a 1-based position,
+    * ``prefix + token`` with a 1-based position — except CJK bigrams in
+      ``cjk_ngram`` mode, which are wdf-only (``add_term``, no position,
+      no ``++cur_pos``; termgenerator_internal.cc:272-276),
     * ``"Z" + prefix + stem(token)`` without a position (stemmed terms are
       skipped for tokens not starting with a letter).
 
@@ -255,13 +369,20 @@ def index_text(
     cur_pos = start_pos
     zprefix = "Z" + prefix
     lower_ascii = _LOWER_ASCII
-    for term in chunk_tokens(text):
+    if cjk_ngram:
+        stream: Iterable[Token] = parse_terms(text, cjk_ngram=True)
+    else:
+        stream = (Token(t, True) for t in chunk_tokens(text))
+    for term, positional, _cjk in stream:
         # byte-length cap; <=16 chars can never exceed 64 UTF-8 bytes
         if len(term) > 16 and \
                 len(term.encode("utf-8")) > MAX_WORD_LENGTH:
             continue
-        cur_pos += 1
-        rows.append((prefix + term, cur_pos, wdf_inc))
+        if positional:
+            cur_pos += 1
+            rows.append((prefix + term, cur_pos, wdf_inc))
+        else:
+            rows.append((prefix + term, None, wdf_inc))
         c0 = term[0]
         if c0 in lower_ascii:
             pass  # Ll: stem
@@ -286,7 +407,9 @@ FIELD_PREFIXES = {
 }
 
 
-def document_terms(doc: dict) -> list[tuple[str, Optional[int], int]]:
+def document_terms(doc: dict,
+                   cjk_ngram: bool = False,
+                   ) -> list[tuple[str, Optional[int], int]]:
     """Full STEM_SOME term stream for one document dict.
 
     Field order and rendering mirror ``Document::update_index``
@@ -317,27 +440,32 @@ def document_terms(doc: dict) -> list[tuple[str, Optional[int], int]]:
     rows: list[tuple[str, Optional[int], int]] = []
     pos = 0
     authors = _aslist(doc.get("authors"))
-    out, pos = index_text(",".join(authors), "A", pos)
+    out, pos = index_text(",".join(authors), "A", pos, cjk_ngram=cjk_ngram)
     rows.extend(out)
     date = doc.get("date", 0)
     out, pos = index_text(render_rfc3339(0 if date is None else date),
-                          "D", pos)
+                          "D", pos, cjk_ngram=cjk_ngram)
     rows.extend(out)
-    out, pos = index_text(_asstr(doc.get("fullpath")), "U", pos)
+    out, pos = index_text(_asstr(doc.get("fullpath")), "U", pos,
+                          cjk_ngram=cjk_ngram)
     rows.extend(out)
-    out, pos = index_text(_asstr(doc.get("title")), "S", pos)
+    out, pos = index_text(_asstr(doc.get("title")), "S", pos,
+                          cjk_ngram=cjk_ngram)
     rows.extend(out)
-    out, pos = index_text(_asstr(doc.get("subtitle")), "XS", pos)
+    out, pos = index_text(_asstr(doc.get("subtitle")), "XS", pos,
+                          cjk_ngram=cjk_ngram)
     rows.extend(out)
     for tag in _aslist(doc.get("tags")):
-        out, pos = index_text(tag, "K", pos)
+        out, pos = index_text(tag, "K", pos, cjk_ngram=cjk_ngram)
         rows.extend(out)
-    out, pos = index_text(_asstr(doc.get("body")), "", pos)
+    out, pos = index_text(_asstr(doc.get("body")), "", pos,
+                          cjk_ngram=cjk_ngram)
     rows.extend(out)
     return rows
 
 
-def document_term_rows(doc: dict) -> tuple[dict, int]:
+def document_term_rows(doc: dict,
+                       cjk_ngram: bool = False) -> tuple[dict, int]:
     """Aggregated per-(doc, term) stream for the index-build kernel:
     returns ``({term: [wdf, gap-varint bytearray | None, last_pos]},
     doclen)`` in one pass — same emission semantics as document_terms
@@ -378,25 +506,39 @@ def document_term_rows(doc: dict) -> tuple[dict, int]:
     def run(text: str, prefix: str) -> None:
         nonlocal pos, doclen
         zprefix = "Z" + prefix
-        for term in chunk_tokens(text):
+        if cjk_ngram:
+            stream: Iterable[Token] = parse_terms(text, cjk_ngram=True)
+        else:
+            stream = (Token(t, True) for t in chunk_tokens(text))
+        for term, positional, _cjk in stream:
             if len(term) > 16 and \
                     len(term.encode("utf-8")) > MAX_WORD_LENGTH:
                 continue
-            pos += 1
             doclen += 1
             key = prefix + term
-            ent = agg_get(key)
-            if ent is None:
-                ent = agg[key] = [1, bytearray(), -1]
+            if positional:
+                pos += 1
+                ent = agg_get(key)
+                if ent is None:
+                    ent = agg[key] = [1, bytearray(), -1]
+                else:
+                    ent[0] += 1
+                v = pos - ent[2] - 1
+                ent[2] = pos
+                buf = ent[1]
+                while v >= 128:
+                    buf.append((v & 0x7F) | 0x80)
+                    v >>= 7
+                buf.append(v)
             else:
-                ent[0] += 1
-            v = pos - ent[2] - 1
-            ent[2] = pos
-            buf = ent[1]
-            while v >= 128:
-                buf.append((v & 0x7F) | 0x80)
-                v >>= 7
-            buf.append(v)
+                # CJK bigram: add_term — wdf only, no position row (a
+                # bigram key never also occurs positionally, so the
+                # count==wdf blob invariant is unaffected)
+                ent = agg_get(key)
+                if ent is None:
+                    agg[key] = [1, None, 0]
+                else:
+                    ent[0] += 1
             c0 = term[0]
             if c0 not in lower_ascii and not _should_stem(term):
                 continue

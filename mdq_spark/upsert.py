@@ -89,6 +89,7 @@ def upsert(spark: SparkSession, index_dir: str,
     block_span = int(m["block_span"])
     n_buckets = int(m["n_buckets"])
     mode = m.get("mode", "xapian")
+    cjk_ngram = bool(m.get("cjk_ngram", False))
 
     docs_all = spark.read.parquet(f"{index_dir}/docs")
     # fresh gen PAST any orphan appends from crashed attempts (docs is
@@ -133,7 +134,8 @@ def upsert(spark: SparkSession, index_dir: str,
     new_docs.withColumn("gen", F.lit(gen)) \
         .write.mode("append").parquet(f"{index_dir}/docs")
     staged = new_docs.mapInPandas(
-        _tokenize_batches(n_buckets, block_span, mode), schema=TERMS_SCHEMA)
+        _tokenize_batches(n_buckets, block_span, mode, cjk_ngram),
+        schema=TERMS_SCHEMA)
     staged.withColumn("gen", F.lit(gen)) \
         .write.mode("append").parquet(f"{index_dir}/terms")
     new_terms = spark.read.parquet(f"{index_dir}/terms") \
@@ -314,6 +316,7 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
             .filter(F.col("gen").isin(committed)).select("doc_id")
         docs = docs.join(tombs, "doc_id", "left_anti")
     return build_index(spark, docs, out_dir, mode=m.get("mode", "xapian"),
+                       cjk_ngram=bool(m.get("cjk_ngram", False)),
                        block_span=int(m["block_span"]),
                        n_buckets=int(m["n_buckets"]), force=True)
 
