@@ -63,6 +63,27 @@ def doc_from_documents_row(doc_id: int, text: str, lang: str,
     }
 
 
+def cjk_translit(text: str, limit: int = 60) -> str:
+    """Deterministic ASCII->CJK transliteration of a text prefix: each
+    of the first ``limit`` chars maps to a CJK Unified Ideograph
+    (U+4E00 + ord(c) % 500 — always category Lo, always inside
+    CJK::codepoint_is_cjk).  Used to synthesize CJK content from the
+    driver's ASCII ``documents`` corpus so the FLAG_CJK_NGRAM path can
+    be exercised in the DuckDB correctness gate without external data
+    (spaces map to a CJK char too, so one window = one unbroken run)."""
+    return "".join(chr(0x4E00 + ord(c) % 500) for c in text[:limit])
+
+
+def cjk_augment(text: str) -> str:
+    """Corpus transform for the CJK gate entries: the original text plus
+    a transliterated copy of its first 60 chars on a new line.  Applied
+    identically by the Spark ingest (entry_queries.ensure_cjk_index)
+    and the pure-Python term-rows export (xq_oracle.ensure_termrows
+    with cjk=True), so both sides index the exact same string."""
+    text = text or ""
+    return text + "\n" + cjk_translit(text)
+
+
 def doc_from_code_row(doc_id: int, repo: str, path: str, commit: str,
                       lang: str, content: str) -> dict:
     """corpus_code (input_hint shape) -> Document.

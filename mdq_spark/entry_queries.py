@@ -538,6 +538,27 @@ MATCHING_TERMS_QUERY = "sort merge join fast"
 MATCHING_TERMS_DOC = 1
 
 
+# FLAG_CJK_NGRAM gate entries (round 5): the corpus is the documents
+# table with corpus.cjk_augment applied (text + transliterated prefix,
+# deterministic, applied identically by the Spark ingest and the pure-
+# Python term-rows export), indexed with cjk_ngram=True.  The queries
+# use transliterations of common corpus words so df varies by doc; the
+# CJK run must sit in an INTERMEDIATE chunk ("X AND y") because the
+# reference's nom expression layer drops CJK from final chunks
+# (queryparse.expression_into_query docstring).
+def _cjk_q() -> dict[str, str]:
+    from .corpus import cjk_translit
+    return {
+        # free CJK run -> AND of its unigram/bigram grams at one position
+        "xq_cjk": cjk_translit("merge") + " AND scan",
+        # quoted CJK -> per-character positional phrase members
+        "xq_cjk_phrase": '"' + cjk_translit("scan") + '" AND sort',
+    }
+
+
+XQ_CJK_QUERIES = _cjk_q()
+
+
 def _xq_eset(rset: list[int], maxitems: int, scheme: str,
              query: str | None = None):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +572,58 @@ def _xq_eset(rset: list[int], maxitems: int, scheme: str,
                         query=query)
         return df.select("term",
                          F.round("wt", 4).cast("double").alias("wt"))
+    return fn
+
+
+def ensure_cjk_index(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index for the FLAG_CJK_NGRAM entries: documents with
+    corpus.cjk_augment applied to text, built with cjk_ngram=True.
+    The augmentation runs as an Arrow-batched pandas_udf calling the
+    exact function the term-rows export applies, so both sides index
+    the same string."""
+    from .session import ensure_worker_imports
+    ensure_worker_imports(spark)
+    name = os.path.basename(sf_dir.rstrip("/")) or "root"
+    out = os.path.join(IDX_CACHE, f"{name}_xapian_cjk")
+    key = (out,)
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        import pandas as pd
+
+        from .corpus import cjk_augment
+
+        def _aug_batches(text):
+            return text.map(cjk_augment)
+
+        # explicit Series->Series annotations (the module's postponed
+        # annotations would leave pandas_udf's type-hint inference with
+        # unresolvable strings)
+        _aug_batches.__annotations__ = {"text": pd.Series,
+                                        "return": pd.Series}
+        _aug = F.pandas_udf(_aug_batches, "string")
+
+        src = spark.read.parquet(
+            f"{sf_dir.rstrip('/')}/documents.parquet") \
+            .withColumn("text", _aug("text"))
+        docs = docs_from_documents_table(spark, sf_dir, src_df=src)
+        build_index(spark, docs, out, mode="xapian", cjk_ngram=True)
+    s = Searcher(spark, out)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _xq_cjk(query: str, k: int = 10):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .xq_oracle import ensure_termrows
+        try:
+            ensure_termrows(sf_dir, cjk=True)
+        except OSError:
+            pass
+        s = ensure_cjk_index(spark, sf_dir)
+        return (s.query_df(query, k=k)
+                .select((F.col("doc_id") - 1).cast("long").alias("doc_id"),
+                        F.round("score", 4).cast("double").alias("score")))
     return fn
 
 
@@ -629,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fulltext (Xapian mode, DuckDB-oracled via the term-rows export)
     for name, xq in XQ_QUERIES.items():
         q[name] = _xq(xq)
+    for name, xq in XQ_CJK_QUERIES.items():
+        q[name] = _xq_cjk(xq)
     q["xq_eset_trad"] = _xq_eset(ESET_TRAD_RSET, 20, "trad",
                                  query=ESET_TRAD_QUERY)
     q["xq_eset_bo1"] = _xq_eset(ESET_BO1_RSET, 15, "bo1")
@@ -898,10 +973,13 @@ def oracle_sql() -> dict[str, str]:
     for d in sf_dirs:
         try:
             ensure_termrows(d)
+            ensure_termrows(d, cjk=True)
         except OSError:
             pass
     for name, xq in XQ_QUERIES.items():
         o[name] = xq_oracle_sql(xq)
+    for name, xq in XQ_CJK_QUERIES.items():
+        o[name] = xq_oracle_sql(xq, cjk=True)
     from .eset import query_exclude_terms
     from .xq_oracle import eset_oracle_sql
     o["xq_eset_trad"] = eset_oracle_sql(

@@ -91,14 +91,18 @@ def _doc_shape(df: DataFrame) -> DataFrame:
                        for f in DOCS_SCHEMA.fields])
 
 
-def docs_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_from_documents_table(spark: SparkSession, sf_dir: str,
+                              src_df: DataFrame | None = None) -> DataFrame:
     """Driver-provided ``documents.parquet`` -> docs DataFrame, pure
     native column expressions (no Python in the ingest hot path —
     VERDICT r02 #2; semantics of corpus.doc_from_documents_row).
 
     The table carries a dense 0-based doc_id already; the adapter shifts
-    it to 1-based (Xapian docids start at 1)."""
-    src = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    it to 1-based (Xapian docids start at 1).  ``src_df`` substitutes a
+    pre-transformed documents DataFrame (same columns) for the parquet
+    read — used by the CJK gate entry, which augments ``text`` first."""
+    src = src_df if src_df is not None else \
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
     text = F.coalesce(F.col("text"), F.lit(""))
     # title = ' '.join(text.split()[:4]): strip outer whitespace so
     # split never yields leading/trailing empty tokens (python .split()

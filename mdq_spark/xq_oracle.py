@@ -70,18 +70,21 @@ def _corpus_key(src: str) -> tuple[int, int]:
     return int(nd), int(dg or 0)
 
 
-def termrows_root() -> str:
+def termrows_root(cjk: bool = False) -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(repo, "_idx_cache", "xq_termrows")
+    base = os.path.join(repo, "_idx_cache", "xq_termrows")
+    # the FLAG_CJK_NGRAM exports tokenize a cjk_augment()ed corpus, so
+    # they live under their own root (same nd/dg partition scheme)
+    return os.path.join(base, "cjk") if cjk else base
 
 
 # ---------------------------------------------------------------------------
 # term-rows export (pure Python — no SparkSession needed)
 # ---------------------------------------------------------------------------
 
-def ensure_termrows(sf_dir: str) -> Optional[int]:
+def ensure_termrows(sf_dir: str, cjk: bool = False) -> Optional[int]:
     """Materialize the engine's per-(doc, term) rows for ``sf_dir``'s
-    documents table under ``termrows_root()/nd=<n_docs>/dg=<digest>/``.
+    documents table under ``termrows_root(cjk)/nd=<n_docs>/dg=<digest>/``.
 
     Partitioned by the corpus row count AND a DuckDB-computed content
     digest so one oracle SQL string works at any scale factor and two
@@ -90,12 +93,18 @@ def ensure_termrows(sf_dir: str) -> Optional[int]:
     evaluated over the ``documents`` view.  Idempotent: a matching
     meta.json short-circuits.  Returns the nd key, or None when
     ``sf_dir`` has no documents table.
+
+    ``cjk=True``: the FLAG_CJK_NGRAM gate variant — the text is first
+    transformed with ``corpus.cjk_augment`` (original + transliterated
+    prefix) and tokenized with ``cjk_ngram=True``; the (nd, dg) key is
+    still computed over the UNTRANSFORMED source so the SQL's partition
+    filter over the plain ``documents`` view keeps working.
     """
     src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
     if not os.path.exists(src):
         return None
     nd, dg = _corpus_key(src)
-    out = os.path.join(termrows_root(), f"nd={nd}", f"dg={dg}")
+    out = os.path.join(termrows_root(cjk), f"nd={nd}", f"dg={dg}")
     mpath = os.path.join(out, "meta.json")
     fingerprint = {
         "version": TERMROWS_VERSION,
@@ -103,6 +112,7 @@ def ensure_termrows(sf_dir: str) -> Optional[int]:
         "digest": dg,
         "src": os.path.abspath(src),
         "src_bytes": os.path.getsize(src),
+        "cjk": cjk,
     }
     if os.path.exists(mpath):
         try:
@@ -117,7 +127,7 @@ def ensure_termrows(sf_dir: str) -> Optional[int]:
 
     from .build import _varint
     from .codec import decode_positions
-    from .corpus import doc_from_documents_row
+    from .corpus import cjk_augment, doc_from_documents_row
     from .tokenize import document_term_rows
 
     tbl = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
@@ -130,8 +140,10 @@ def ensure_termrows(sf_dir: str) -> Optional[int]:
             tbl.column("text").to_pylist(),
             tbl.column("lang").to_pylist(),
             tbl.column("source").to_pylist()):
+        if cjk:
+            text = cjk_augment(text)
         doc = doc_from_documents_row(did, text, lang, source)
-        agg, _doclen = document_term_rows(doc)
+        agg, _doclen = document_term_rows(doc, cjk_ngram=cjk)
         for term, ent in agg.items():
             wdf, buf, _last = ent
             doc_ids.append(doc["doc_id"])  # engine id (1-based)
@@ -406,7 +418,7 @@ dn AS (
 )"""
 
 
-def xq_oracle_sql(query: str, k: int = 10) -> str:
+def xq_oracle_sql(query: str, k: int = 10, cjk: bool = False) -> str:
     """DuckDB SQL equivalent of ``Searcher.query_df(query, k)`` over the
     term-rows parquet, output shape ``(doc_id, score)`` with engine ids
     mapped back to the source table (engine ids are 1-based) and scores
@@ -420,13 +432,14 @@ def xq_oracle_sql(query: str, k: int = 10) -> str:
     even when the result set would otherwise be empty."""
     from .queryparse import parse_user_query
     gen = _SqlGen()
-    top = gen.emit(parse_user_query(query))
+    top = gen.emit(parse_user_query(query, cjk_ngram=cjk))
     ctes = ",\n".join(
-        [_BASE_CTES.format(root=termrows_root(), digest=_DIGEST_EXPR)]
+        [_BASE_CTES.format(root=termrows_root(cjk), digest=_DIGEST_EXPR)]
         + gen.ctes)
+    hint = "cjk=True" if cjk else "sf_dir"
     guard = ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
              "CAST(error('xq term-rows export missing for this corpus: "
-             "run mdq_spark.xq_oracle.ensure_termrows(sf_dir) first') "
+             f"run mdq_spark.xq_oracle.ensure_termrows({hint}) first') "
              "AS DOUBLE) AS score, CAST(NULL AS DOUBLE) AS s "
              "WHERE (SELECT count(*) FROM tr) = 0")
     return (f"WITH {ctes}\n"

@@ -151,3 +151,25 @@ def test_export_idempotent(termrows_nd):
     before = os.path.getmtime(part)
     assert ensure_termrows(SF_DIR) == termrows_nd
     assert os.path.getmtime(part) == before
+
+
+def test_cjk_entries_hash_match(spark, con):
+    """The FLAG_CJK_NGRAM gate entries (xq_cjk, xq_cjk_phrase): the
+    Spark engine over the cjk_augment()ed corpus indexed with
+    cjk_ngram=True == DuckDB over the matching term-rows export (the
+    cjk=True variant), same rounding/ordering contract as the other
+    entries.  Also asserts the queries are non-degenerate (both return
+    a full top-10 with varied scores at sf0.001)."""
+    import __spark_entry__ as entry
+    from mdq_spark.entry_queries import XQ_CJK_QUERIES
+    from mdq_spark.xq_oracle import ensure_termrows
+    assert ensure_termrows(SF_DIR, cjk=True) is not None
+    qs, osql = entry.queries(), entry.oracle_sql()
+    for name in XQ_CJK_QUERIES:
+        srows = sorted((r["doc_id"], r["score"])
+                       for r in qs[name](spark, SF_DIR).collect())
+        drows = sorted((int(a), float(b)) for a, b in
+                       con.execute(osql[name]).fetchall())
+        assert srows == drows, name
+        assert len(srows) == 10, name
+        assert len({s for _, s in srows}) > 3, name
