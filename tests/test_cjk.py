@@ -295,3 +295,16 @@ def test_upsert_preserves_cjk_flag(spark, cjk_index, cjk_oracle):
         ((id_by_path[path_by_oracle_id[d]], w) for d, w in exp),
         key=lambda kv: (-kv[1], kv[0]))
     assert_results_match(exp_mapped, act)
+
+    # compaction preserves the tokenizer mode: the rebuilt index keeps
+    # cjk_ngram in its manifest and answers identically
+    from mdq_spark.upsert import compact
+    idx3 = src + "_compacted"
+    m3 = compact(spark, idx2, idx3)
+    assert m3["cjk_ngram"] is True
+    s3 = Searcher(spark, idx3)
+    assert s3.cjk_ngram is True
+    # doc ids are re-densified by the rebuild; compare score multisets
+    a2 = sorted(round(w, 9) for _, w in s2.search(q, k=10))
+    a3 = sorted(round(w, 9) for _, w in s3.search(q, k=10))
+    assert a2 == a3
