@@ -462,15 +462,25 @@ class Searcher:
     DEFAULT_WILDCARD_LIMIT = 100_000
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 wildcard_limit: int | None = DEFAULT_WILDCARD_LIMIT):
+                 wildcard_limit: int | None = DEFAULT_WILDCARD_LIMIT,
+                 batch_rows_cap: int | None = 64_000_000):
         """``wildcard_limit``: cap on dictionary prefix expansion
         (Xapian's set_max_expansion with WILDCARD_LIMIT_MOST_FREQUENT
         semantics — keep the highest-df terms).  Defaults to a large
         cap so a short prefix over a billion-term dictionary cannot
         collect unbounded rows to the driver; pass None for Xapian's
-        literal unlimited default (identical behavior below the cap)."""
+        literal unlimited default (identical behavior below the cap).
+
+        ``batch_rows_cap``: volume budget (estimated posting rows, from
+        the dictionary's df sums) for one shared batch_search exchange.
+        A query log whose union exceeds it is split into groups of
+        bounded union volume — the amp10000 measurement showed the
+        one-exchange amortization inverts once the union shuffle
+        dominates (BENCH/BASELINE.md round-5 scale demo).  None
+        disables grouping."""
         self.spark = spark
         self.wildcard_limit = wildcard_limit
+        self.batch_rows_cap = batch_rows_cap
         # observability for tests: rows the last _dict_lookup collected
         # (bounded by len(terms) + wildcard_limit * len(patterns))
         self._last_dict_rows_collected = 0
@@ -1442,7 +1452,18 @@ class Searcher:
         log therefore costs one exchange + one decode of the union
         posting set, not 10k of each.  Queries whose tree isn't
         block-local (MatchAll shapes) fall back to per-query plans and
-        union in."""
+        union in.
+
+        Volume cap (round 5, from the amp10000 measurement): ONE
+        exchange is only a win while per-job overhead dominates; once
+        the union posting volume is shuffle-bound the amortization
+        inverts (13.9 vs 10.6 s/query at 3.56B postings).  The log is
+        therefore split into groups whose estimated union volume
+        (Σ df over the group's distinct terms, read off the dictionary
+        rows already collected) stays under ``batch_rows_cap``; each
+        group still shares one exchange, results are identical by
+        construction (specs are independent — grouping only changes
+        which exchange carries them)."""
         from pyspark.sql import Window
         nodes: dict = {}
         terms: set = set()
@@ -1455,8 +1476,6 @@ class Searcher:
                    if filters is not None else None)
         ctx = {"dict": shared_dict, "allowed": allowed}
         spec_items: list = []
-        spec_terms: set = set()
-        spec_pos: set = set()
         rest: dict = {}
         for qid, node in nodes.items():
             spec = self._compile_block_spec(node, ctx)
@@ -1464,24 +1483,29 @@ class Searcher:
                 rest[qid] = node
             elif spec != ("empty",):
                 spec_items.append((str(qid), spec))
-                self._spec_terms(spec, spec_terms, spec_pos)
         tagged = None
-        if spec_items and spec_terms:
-            blocks = self._scan_blocks(sorted(spec_terms))
+        for group in self._batch_groups(spec_items, ctx):
+            g_terms: set = set()
+            g_pos: set = set()
+            for _qid, spec in group:
+                self._spec_terms(spec, g_terms, g_pos)
+            if not g_terms:
+                continue
+            blocks = self._scan_blocks(sorted(g_terms))
             cols = ["block", "term", "n", "doc_gaps", "wdfs", "doclens"]
-            if spec_pos:
+            if g_pos:
                 cols.append("positions")
             enc = (blocks.select(*cols)
                    .repartition("block").sortWithinPartitions("block"))
             out = enc.mapInPandas(
-                _tree_kernel(spec_items, sorted(spec_terms), self.lf,
-                             frozenset(spec_pos)),
+                _tree_kernel(group, sorted(g_terms), self.lf,
+                             frozenset(g_pos)),
                 "query_id string, doc_id bigint, weight double")
             if self.tombstones is not None:
                 out = out.join(self.tombstones, "doc_id", "left_anti")
             if allowed is not None:
                 out = out.join(allowed, "doc_id", "left_semi")
-            tagged = out
+            tagged = out if tagged is None else tagged.unionByName(out)
         for qid, node in rest.items():
             w = self._eval(node, ctx) \
                 .withColumn("query_id", F.lit(str(qid)))
@@ -1496,6 +1520,43 @@ class Searcher:
                 .filter(F.col("rank") <= k)
                 .select("query_id", "doc_id",
                         F.col("weight").alias("score"), "rank"))
+
+    def _batch_groups(self, spec_items: list, ctx: dict) -> list:
+        """Split compiled batch specs into exchange groups of bounded
+        estimated union volume (Σ df over each group's DISTINCT terms —
+        shared terms cost a group nothing twice, so the packing charges
+        only the increment).  Greedy in log order: deterministic, and a
+        single over-budget query still runs alone (its volume is
+        irreducible — per-query fallback would move the same rows)."""
+        if not spec_items:
+            return []
+        cap = self.batch_rows_cap
+        if cap is None:
+            return [spec_items]
+        dfs = ctx["dict"]["all"]
+
+        def added_cost(term_set, have):
+            return sum(int(dfs[t]["df"]) for t in term_set - have
+                       if t in dfs)
+
+        groups: list = []
+        cur: list = []
+        cur_terms: set = set()
+        cur_cost = 0
+        for qid, spec in spec_items:
+            t: set = set()
+            self._spec_terms(spec, t)
+            add = added_cost(t, cur_terms)
+            if cur and cur_cost + add > cap:
+                groups.append(cur)
+                cur, cur_terms, cur_cost = [], set(), 0
+                add = added_cost(t, cur_terms)
+            cur.append((qid, spec))
+            cur_terms |= t
+            cur_cost += add
+        if cur:
+            groups.append(cur)
+        return groups
 
     def suggest(self, word: str, max_edit_distance: int = 2) -> str:
         """Spelling suggestion (Q18, get_spelling_suggestion): trigram

@@ -503,3 +503,33 @@ def test_batch_search_single_shared_exchange(searcher):
     assert plan.count("MapInPandas") == 1, plan
     # one exchange for the kernel + one for the per-query rank window
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_batch_search_volume_cap_grouping(spark, index, oracle):
+    """batch_rows_cap (round 5, amp10000 finding): a log whose union
+    df volume exceeds the cap splits into several bounded exchanges —
+    with results identical to the uncapped single exchange and to the
+    per-query oracle."""
+    from mdq_spark.search import Searcher
+    queries = {"a": "spark ", "b": "quick brown", "c": "spark query",
+               "d": "spark AND NOT query", "e": '"hee hee hee" '}
+    s1 = Searcher(spark, index[0], batch_rows_cap=1)  # one query/group
+    # grouping is observable: >1 kernel pass in the plan
+    df = s1.batch_search(queries, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") > 1, plan
+    out = df.collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    s0 = Searcher(spark, index[0], batch_rows_cap=None)
+    base = {}
+    for r in s0.batch_search(queries, k=5).collect():
+        base.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, q in queries.items():
+        assert sorted(by_q.get(qid, [])) == sorted(base.get(qid, [])), qid
+        expected = oracle.search(q, k=5)
+        got = sorted(by_q.get(qid, []))
+        assert_results_match(expected, [(d, s) for _, d, s in got])
