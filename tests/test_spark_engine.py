@@ -505,6 +505,34 @@ def test_batch_search_single_shared_exchange(searcher):
     assert plan.count("Exchange") <= 2, plan
 
 
+def test_batch_groups_packing(searcher):
+    """_batch_groups charges a group only for terms it doesn't already
+    carry, packs greedily in log order, and never splits a single
+    over-budget query."""
+    dfs = {"a": {"df": 10}, "b": {"df": 10}, "c": {"df": 50}}
+    ctx = {"dict": {"all": dfs}}
+
+    def leaf(t):  # ("leaf", [(wqf?, term-set, ...)]) — _spec_terms shape
+        return ("leaf", [(1.0, [t], 1)])
+
+    items = [("q1", leaf("a")), ("q2", leaf("a")),
+             ("q3", leaf("b")), ("q4", leaf("c"))]
+    old = searcher.batch_rows_cap
+    try:
+        searcher.batch_rows_cap = 25
+        groups = searcher._batch_groups(items, ctx)
+        # q1+q2 share 'a' (cost 10), q3 adds 10 -> 20 <= 25; q4 (50)
+        # overflows and runs alone despite exceeding the cap by itself
+        assert [[q for q, _ in g] for g in groups] == \
+            [["q1", "q2", "q3"], ["q4"]]
+        searcher.batch_rows_cap = None
+        assert searcher._batch_groups(items, ctx) == [items]
+        searcher.batch_rows_cap = 1_000_000
+        assert searcher._batch_groups(items, ctx) == [items]
+    finally:
+        searcher.batch_rows_cap = old
+
+
 def test_batch_search_volume_cap_grouping(spark, index, oracle):
     """batch_rows_cap (round 5, amp10000 finding): a log whose union
     df volume exceeds the cap splits into several bounded exchanges —
