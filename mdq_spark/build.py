@@ -85,7 +85,14 @@ DEFAULT_N_BUCKETS = 64
 #       would re-split per build).  The crc32 ``bucket`` survives as a
 #       data column (postings stay bucket-partitioned) and spreads the
 #       dict write across tasks within a skewed tpfx (e.g. 'Z' stems).
-FORMAT_VERSION = 4
+#   v5: the fresh build's resume checkpoint is ``partials/`` (fused
+#       tokenize -> phase-1 posting runs, VERDICT r05 #1); ``terms/``
+#       (the forward termlist eset/upsert/the xq oracle consume) is
+#       DERIVED from it by a vectorized decode instead of being the
+#       thing everything re-reads; ``block_max_part`` is written as 0.0
+#       (dead since v3 — query-time bounds derive from block_max_wdf +
+#       block_min_doclen under the current 1/avgdl).
+FORMAT_VERSION = 5
 
 DOCS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -162,13 +169,10 @@ def _varint(n: int) -> bytes:
     return bytes(out)
 
 
-def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian",
-                      cjk_ngram: bool = False):
-    """mapInPandas kernel: docs rows -> per-(doc, term) rows, map-side
-    pre-aggregated (wdf summed, positions gap-varint-encoded as they
-    arrive) so the shuffle moves one small binary blob per (doc, term),
-    not one row per token and no intermediate Python position lists
-    (VERDICT r01 #5)."""
+def _doc_agg(mode: str, cjk_ngram: bool = False):
+    """Per-doc tokenizer shared by the staging and fused-encode kernels:
+    doc dict -> ({term: [wdf, gap-varint posbuf | None, last_pos]},
+    doclen)."""
     from .tokenize import document_term_rows
 
     def agg_doc(doc: dict):
@@ -191,6 +195,19 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian",
                 v >>= 7
             buf.append(v)
         return agg, doclen
+
+    return agg_doc
+
+
+def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian",
+                      cjk_ngram: bool = False):
+    """mapInPandas kernel: docs rows -> per-(doc, term) rows, map-side
+    pre-aggregated (wdf summed, positions gap-varint-encoded as they
+    arrive) so the shuffle moves one small binary blob per (doc, term),
+    not one row per token and no intermediate Python position lists
+    (VERDICT r01 #5).  Still used by the upsert path; the fresh build
+    uses the fused ``_tokenize_encode_batches`` since round 6."""
+    agg_doc = _doc_agg(mode, cjk_ngram)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -219,6 +236,288 @@ def _tokenize_batches(n_buckets: int, block_span: int, mode: str = "xapian",
                         _varint(wdf) + bytes(buf)
                         if buf is not None else None)
             yield pd.DataFrame(out)
+
+    return fn
+
+
+# the fused tokenize+encode stage's output: partial posting blocks plus
+# the per-run wdf sum so the dictionary stage can aggregate (df, cf,
+# wdf_max) from these tiny columns without re-scanning term strings
+PARTIALS_SCHEMA = StructType(
+    POSTINGS_SCHEMA.fields
+    + [StructField("sum_wdf", LongType(), False)])
+
+_POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
+
+
+def _tokenize_encode_batches(n_buckets: int, block_span: int,
+                             mode: str = "xapian",
+                             cjk_ngram: bool = False):
+    """FUSED tokenize -> phase-1 encode kernel (VERDICT r05 #1): docs
+    rows -> *partial posting block* rows, in ONE Python pass.
+
+    Rounds 2-5 wrote a row-per-(doc, term) staging table and the
+    postings stage re-read all of it (68% of that stage at amp1000 was
+    parquet->Arrow decode of its own staging input).  Here the per-doc
+    aggregation feeds per-term accumulators directly and runs are
+    encoded when a doc-range block completes — the JVM
+    ``sortWithinPartitions`` disappears (terms are grouped by dict key,
+    docs arrive in ascending id order, so every run is born sorted) and
+    nothing is ever re-read.
+
+    State is bounded by ONE doc-range block per task (flushed whenever
+    ``doc_id // block_span`` advances): accumulators never hold more
+    than ``block_span`` docs' postings regardless of partition size.
+    Input partitions must cover disjoint doc-id ranges (what the docs
+    stage provides) — the same invariant two-phase inversion always
+    required; ascending order *within* a partition is verified per doc
+    and repaired with a per-term argsort at flush if violated.
+
+    Encoding is the same whole-column vectorization as ``_encode_runs``:
+    one LEB128 encode per column per flush, sliced per run by byte
+    offsets; positions blobs are concatenations of the per-(doc, term)
+    blobs the tokenizer already built (layout identical to the v4
+    staging rows).  ``block_max_part`` is written as 0.0: it has been
+    dead weight since format v3 (query-time bounds are derived from
+    ``block_max_wdf`` + ``block_min_doclen`` under the *current*
+    1/avgdl), and dropping it removes both per-posting float work and
+    the stage's dependency on avg_doclen — which is what lets the
+    downstream stages run concurrently."""
+    import numpy as np
+
+    from .codec import varint_encode_offsets
+
+    agg_doc = _doc_agg(mode, cjk_ngram)
+    names = [f.name for f in PARTIALS_SCHEMA.fields]
+
+    def flush(state: dict, blk: int, sorted_ok: bool):
+        if not state:
+            return None
+        terms_sorted = sorted(state)
+        if not sorted_ok:
+            for t in terms_sorted:
+                ids_l, wdf_l, dl_l, blobs = state[t]
+                order = np.argsort(np.asarray(ids_l, dtype=np.int64),
+                                   kind="stable")
+                state[t] = ([ids_l[i] for i in order],
+                            [wdf_l[i] for i in order],
+                            [dl_l[i] for i in order],
+                            [blobs[i] for i in order])
+        lens = np.fromiter((len(state[t][0]) for t in terms_sorted),
+                           dtype=np.int64, count=len(terms_sorted))
+        bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        gstarts, gends = bounds[:-1], bounds[1:]
+        total = int(bounds[-1])
+        ids = np.empty(total, dtype=np.int64)
+        wdfs = np.empty(total, dtype=np.int64)
+        dls = np.empty(total, dtype=np.int64)
+        off = 0
+        for t in terms_sorted:
+            ids_l, wdf_l, dl_l, _ = state[t]
+            n = len(ids_l)
+            ids[off:off + n] = ids_l
+            wdfs[off:off + n] = wdf_l
+            dls[off:off + n] = dl_l
+            off += n
+        gaps = ids.copy()
+        gaps[1:] -= ids[:-1] + 1
+        gaps[gstarts] = ids[gstarts]
+        buf_g, off_g = varint_encode_offsets(gaps)
+        buf_w, off_w = varint_encode_offsets(wdfs)
+        buf_d, off_d = varint_encode_offsets(dls)
+        pos_out = []
+        for t in terms_sorted:
+            blobs = state[t][3]
+            if all(b is None for b in blobs):
+                pos_out.append(None)
+            else:
+                pos_out.append(b"".join(
+                    b if b is not None else EMPTY_POSITIONS
+                    for b in blobs))
+        return pd.DataFrame({
+            "term": terms_sorted,
+            "bucket": np.fromiter(
+                (term_bucket(t, n_buckets) for t in terms_sorted),
+                dtype=np.int32, count=len(terms_sorted)),
+            "block": np.full(len(terms_sorted), blk, dtype=np.int64),
+            "first_doc": ids[gstarts],
+            "last_doc": ids[gends - 1],
+            "n": lens.astype(np.int32),
+            "doc_gaps": [bytes(buf_g[off_g[s]:off_g[e]])
+                         for s, e in zip(gstarts, gends)],
+            "wdfs": [bytes(buf_w[off_w[s]:off_w[e]])
+                     for s, e in zip(gstarts, gends)],
+            "doclens": [bytes(buf_d[off_d[s]:off_d[e]])
+                        for s, e in zip(gstarts, gends)],
+            "positions": pos_out,
+            "block_max_wdf": np.maximum.reduceat(
+                wdfs, gstarts).astype(np.int32),
+            "block_max_part": np.zeros(len(terms_sorted)),
+            "block_min_doclen": np.minimum.reduceat(
+                dls, gstarts).astype(np.int32),
+            "sum_wdf": np.add.reduceat(wdfs, gstarts),
+        }, columns=names)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict = {}
+        cur_block = None
+        prev_doc = None
+        sorted_ok = True
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                doc = row._asdict()
+                did = int(doc["doc_id"])
+                blk = did // block_span
+                if cur_block is not None and blk != cur_block:
+                    out = flush(state, cur_block, sorted_ok)
+                    if out is not None:
+                        yield out
+                    state = {}
+                    prev_doc = None
+                    sorted_ok = True
+                cur_block = blk
+                if prev_doc is not None and did <= prev_doc:
+                    sorted_ok = False
+                prev_doc = did
+                agg, doclen = agg_doc(doc)
+                for term, ent in agg.items():
+                    wdf = ent[0]
+                    buf = ent[1]
+                    blob = (_varint(wdf) + bytes(buf)
+                            if buf is not None else None)
+                    st = state.get(term)
+                    if st is None:
+                        state[term] = ([did], [wdf], [doclen], [blob])
+                    else:
+                        st[0].append(did)
+                        st[1].append(wdf)
+                        st[2].append(doclen)
+                        st[3].append(blob)
+        if cur_block is not None:
+            out = flush(state, cur_block, sorted_ok)
+            if out is not None:
+                yield out
+
+    return fn
+
+
+def _termlist_kernel(n_buckets: int):
+    """mapInPandas kernel deriving the forward termlist (the v4
+    ``terms/`` staging rows) back out of partial posting rows: one
+    vectorized decode per batch for doc ids / wdfs / doclens, and
+    per-(doc, term) position blobs recovered as byte SLICES of the
+    run's positions buffer (no position decode — the per-doc layout
+    ``varint(count) + gaps`` is preserved verbatim by concatenation).
+
+    Row content is identical to what ``_tokenize_batches`` used to
+    stage (order aside): a run with a NULL positions buffer means every
+    member row was non-positional (Z-stems / CJK bigrams), which staged
+    as NULL; in a mixed run the 1-byte empty encoding maps back to
+    NULL the same way."""
+    import numpy as np
+
+    from .codec import varint_decode
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns = pdf["n"].to_numpy().astype(np.int64)
+            total = int(ns.sum())
+            bounds = np.zeros(len(ns) + 1, dtype=np.int64)
+            np.cumsum(ns, out=bounds[1:])
+            gstarts = bounds[:-1]
+            # whole-batch decode: buffers concatenate at varint
+            # boundaries, so ONE decode per column serves every run
+            gaps = varint_decode(b"".join(pdf["doc_gaps"]), total) \
+                .astype(np.int64)
+            wdfs = varint_decode(b"".join(pdf["wdfs"]), total) \
+                .astype(np.int64)
+            dls = varint_decode(b"".join(pdf["doclens"]), total) \
+                .astype(np.int64)
+            adj = gaps.copy()
+            adj[1:] += 1
+            adj[gstarts] = gaps[gstarts]
+            cs = np.cumsum(adj)
+            base = np.repeat(cs[gstarts] - gaps[gstarts], ns)
+            ids = cs - base
+            pos_col: list = [None] * total
+            for ri, blob in enumerate(pdf["positions"]):
+                if blob is None:
+                    continue
+                s = int(gstarts[ri])
+                n = int(ns[ri])
+                b = np.frombuffer(blob, dtype=np.uint8)
+                ends = np.flatnonzero(b < 128)
+                bnds = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(wdfs[s:s + n] + 1, out=bnds[1:])
+                vals = varint_decode(blob)
+                if bnds[-1] != len(vals) or \
+                        not (vals[bnds[:-1]] == wdfs[s:s + n]).all():
+                    # count != wdf: walk the stored counts instead
+                    for k in range(n):
+                        bnds[k + 1] = bnds[k] + int(vals[bnds[k]]) + 1
+                byte_start = np.zeros(n, dtype=np.int64)
+                byte_start[0:] = np.where(
+                    bnds[:-1] > 0, ends[np.maximum(bnds[:-1] - 1, 0)] + 1,
+                    0)
+                byte_end = ends[bnds[1:] - 1] + 1
+                for k in range(n):
+                    piece = blob[int(byte_start[k]):int(byte_end[k])]
+                    pos_col[s + k] = None \
+                        if piece == EMPTY_POSITIONS else piece
+            terms = np.repeat(pdf["term"].to_numpy(), ns)
+            buckets = np.repeat(
+                pdf["bucket"].to_numpy().astype(np.int32), ns)
+            blocks = np.repeat(
+                pdf["block"].to_numpy().astype(np.int64), ns)
+            yield pd.DataFrame({
+                "term": terms,
+                "bucket": buckets,
+                "block": blocks,
+                "doc_id": ids,
+                "wdf": wdfs.astype(np.int32),
+                "doclen": dls.astype(np.int32),
+                "positions": pos_col,
+            })
+
+    return fn
+
+
+def _docstats_kernel():
+    """mapInArrow kernel: partial posting rows -> distinct (doc_id,
+    doclen) pairs per batch (the doclen is denormalized identically on
+    every posting of a doc, so a batch-local unique is exact input to
+    the downstream groupBy-max).  Touches only the 3 narrow columns —
+    term strings and position blobs never reach this stage."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .codec import varint_decode
+
+    def fn(batches) -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ns = batch.column("n").to_numpy().astype(np.int64)
+            total = int(ns.sum())
+            bounds = np.zeros(len(ns) + 1, dtype=np.int64)
+            np.cumsum(ns, out=bounds[1:])
+            gstarts = bounds[:-1]
+            g_bufs = batch.column("doc_gaps").to_pylist()
+            d_bufs = batch.column("doclens").to_pylist()
+            gaps = varint_decode(b"".join(g_bufs), total).astype(np.int64)
+            dls = varint_decode(b"".join(d_bufs), total).astype(np.int64)
+            adj = gaps.copy()
+            adj[1:] += 1
+            adj[gstarts] = gaps[gstarts]
+            cs = np.cumsum(adj)
+            ids = cs - np.repeat(cs[gstarts] - gaps[gstarts], ns)
+            uniq, idx = np.unique(ids, return_index=True)
+            yield pa.record_batch(
+                [pa.array(uniq), pa.array(dls[idx].astype(np.int32))],
+                names=["doc_id", "doclen"])
 
     return fn
 
@@ -518,6 +817,19 @@ def _merge_partial_runs():
     return fn
 
 
+def merge_partials(partials: DataFrame,
+                   num_partitions: Optional[int] = None) -> DataFrame:
+    """Phase 2 of the two-phase inversion: shuffle partial posting rows
+    on (term, block) and concatenate each group's disjoint runs
+    (``_merge_partial_runs``).  Shared by ``invert_postings`` (raw
+    staging input, the upsert path) and the fresh build's postings
+    stage (which consumes the fused tokenize-encode output directly)."""
+    args = [num_partitions] if num_partitions else []
+    return (partials.repartition(*args, "term", "block")
+            .sortWithinPartitions("term", "block", "first_doc")
+            .mapInArrow(_merge_partial_runs(), schema=POSTINGS_SCHEMA))
+
+
 def invert_postings(src: DataFrame, lf: float,
                     n_buckets: int = DEFAULT_N_BUCKETS,
                     num_partitions: Optional[int] = None) -> DataFrame:
@@ -544,10 +856,7 @@ def invert_postings(src: DataFrame, lf: float,
     partials = (src.sortWithinPartitions("term", "block", "doc_id")
                 .mapInArrow(_encode_runs(lf, n_buckets),
                             schema=POSTINGS_SCHEMA))
-    args = [num_partitions] if num_partitions else []
-    return (partials.repartition(*args, "term", "block")
-            .sortWithinPartitions("term", "block", "first_doc")
-            .mapInArrow(_merge_partial_runs(), schema=POSTINGS_SCHEMA))
+    return merge_partials(partials, num_partitions)
 
 
 def _stage_done(path: str) -> bool:
@@ -555,18 +864,23 @@ def _stage_done(path: str) -> bool:
 
 
 def _stage_current(spark: SparkSession, path: str,
-                   binary_positions: bool = False) -> bool:
+                   binary_positions: bool = False,
+                   required_cols: tuple = ()) -> bool:
     """A staged output is resumable only if it was written by the
-    current format: every v3 artifact carries a ``gen`` column, and v2+
-    staging carries positions as varint bytes.  Resuming a v1/v2 stage
-    with v3 code would crash or silently corrupt (ADVICE r01), so a
-    stale stage is rebuilt instead."""
+    current format: every v3 artifact carries a ``gen`` column, v2+
+    staging carries positions as varint bytes, and v5 partials carry
+    ``sum_wdf``.  Resuming an older stage with current code would crash
+    or silently corrupt (ADVICE r01), so a stale stage is rebuilt
+    instead."""
     try:
         schema = spark.read.parquet(path).schema
     except Exception:
         return False
     if "gen" not in schema.fieldNames():
         return False
+    for c in required_cols:
+        if c not in schema.fieldNames():
+            return False
     if binary_positions and not isinstance(
             schema["positions"].dataType, BinaryType):
         return False
@@ -616,6 +930,29 @@ class IndexBuilder:
     def path(self, name: str) -> str:
         return f"{self.out}/{name}"
 
+    def _ranges_disjoint(self, docs_df: DataFrame) -> bool:
+        """One cheap column-pruned pass over doc_id: do the incoming
+        partitions already hold pairwise-disjoint doc-id ranges?  Then
+        the forward-store range exchange is redundant and the stage
+        writes with a local sort only.  Dense ids from ingest and the
+        driver documents table both qualify; arbitrary inputs (e.g. a
+        compaction's filtered doc set read off bucketless parquet) fall
+        back to the shuffle when the check fails."""
+        try:
+            stats = (docs_df
+                     .select(F.spark_partition_id().alias("_pid"),
+                             F.col("doc_id"))
+                     .groupBy("_pid")
+                     .agg(F.min("doc_id").alias("lo"),
+                          F.max("doc_id").alias("hi"),
+                          F.count("doc_id").alias("n"))
+                     .collect())
+        except Exception:
+            return False
+        spans = sorted((int(r["lo"]), int(r["hi"]))
+                       for r in stats if int(r["n"]))
+        return all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
     def _read_staged(self, path: str) -> DataFrame:
         """Read a stage output with split sizing adapted to its size and
         the cluster parallelism.  Small staged dirs would otherwise
@@ -652,131 +989,207 @@ class IndexBuilder:
                     [int(g) for g in old.get("committed_gens", [0])] != [0]:
                 force = True
 
-        # stage 1: forward store, range-partitioned + sorted by doc_id
-        # (doc-id clustering gives the fetch join row-group pruning).
-        # No explicit partition count: AQE coalesces the range exchange
-        # for small inputs and spark.sql.shuffle.partitions bounds it
-        # at scale — downstream parallelism does NOT depend on the file
-        # count here, because _read_staged re-splits by bytes.
+        # stage 1: forward store, doc_id-clustered + sorted (the fetch
+        # join's row-group pruning and the inversion's doc-range
+        # invariant both hang off this).  The range exchange is SKIPPED
+        # when the incoming partitions already hold pairwise-disjoint
+        # doc-id ranges (guide §2.4: the input is already partitioned
+        # the way the write needs — true for the driver documents table
+        # and for dense_ids output, both id-ordered by construction);
+        # one column-pruned pass verifies it, the full-row shuffle only
+        # runs when the check fails.
         p_docs = self.path("docs")
         if force or not _stage_done(p_docs) or \
                 not _stage_current(self.spark, p_docs):
             force = True  # downstream stages derive from this one
             t0 = time.time()
-            (docs_df.repartitionByRange("doc_id")
-             .sortWithinPartitions("doc_id")
+            # skip only when the input ALSO carries enough partitions to
+            # feed the tokenize stage: a small already-ordered input
+            # (one parquet split) would otherwise funnel the whole
+            # fused tokenize stage through one task.  At scale the
+            # input split count dwarfs the core count, which is exactly
+            # when the corpus-wide shuffle is worth removing.
+            par = max(self.spark.sparkContext.defaultParallelism, 1)
+            src = docs_df
+            if docs_df.rdd.getNumPartitions() < par or \
+                    not self._ranges_disjoint(docs_df):
+                src = docs_df.repartitionByRange("doc_id")
+            # 8 MB row groups keep single large files splittable for
+            # the downstream tokenize scan and make the fetch join's
+            # row-group pruning finer-grained
+            (src.sortWithinPartitions("doc_id")
              .withColumn("gen", F.lit(0))
-             .write.mode("overwrite").parquet(p_docs))
+             .write.mode("overwrite")
+             .option("parquet.block.size", str(8 << 20))
+             .parquet(p_docs))
             stages.append({"stage": "docs", "sec": time.time() - t0})
         docs = self._read_staged(p_docs)
 
-        # stage 2: tokenize -> terms staging (the resume checkpoint)
-        p_terms = self.path("terms")
-        if force or not _stage_done(p_terms) or \
-                not _stage_current(self.spark, p_terms,
-                                   binary_positions=True):
+        # stage 2: FUSED tokenize -> phase-1 encode (VERDICT r05 #1).
+        # One Python pass over the forward store produces the partial
+        # posting runs directly; this is the resume checkpoint, and the
+        # ONLY pass that ever tokenizes.  The write-time Observation
+        # yields n_postings (one sum over the run lengths) so the
+        # postings shuffle can be sized without waiting for the dict.
+        from pyspark.sql import Observation
+        p_part = self.path("partials")
+        part_stats: Optional[dict] = None
+        if force or not _stage_done(p_part) or \
+                not _stage_current(self.spark, p_part,
+                                   required_cols=("sum_wdf",)):
             force = True
             t0 = time.time()
-            terms = docs.drop("gen").mapInPandas(
-                _tokenize_batches(self.n_buckets, self.block_span,
-                                  self.mode, self.cjk_ngram),
-                schema=TERMS_SCHEMA)
-            terms.withColumn("gen", F.lit(0)) \
-                .write.mode("overwrite").parquet(p_terms)
-            stages.append({"stage": "terms", "sec": time.time() - t0})
-        terms = self._read_staged(p_terms)
+            pobs = Observation("partstats")
+            (docs.drop("gen")
+             .mapInPandas(
+                 _tokenize_encode_batches(self.n_buckets, self.block_span,
+                                          self.mode, self.cjk_ngram),
+                 schema=PARTIALS_SCHEMA)
+             .withColumn("gen", F.lit(0))
+             .observe(pobs, F.sum("n").alias("n_postings"))
+             .write.mode("overwrite").parquet(p_part))
+            part_stats = dict(pobs.get)
+            stages.append({"stage": "partials", "sec": time.time() - t0})
+        partials = self._read_staged(p_part)
+        part0 = partials.filter(F.col("gen") == 0)
 
-        # stage 3: doc + collection statistics (A2/A3).  The collection
-        # aggregates ride the docstats WRITE via an Observation — no
-        # separate scan job for globalstats on a fresh build (the
-        # fallback agg below only runs when resuming past a completed
-        # docstats stage).
-        from pyspark.sql import Observation
+        # stages 3-6 all derive from partials/ and nothing else (the
+        # postings stage lost its avg_doclen dependency with the dead
+        # block_max_part), so they run CONCURRENTLY from a small thread
+        # pool (guide §2.6): the tiny termlist/docstats/dict jobs
+        # back-fill executor capacity the postings stage's stragglers
+        # leave idle, and none of them extends the build's critical
+        # path.  Job descriptions are thread-local, so each stage stays
+        # attributable in the UI.
+        p_terms = self.path("terms")
         p_docstats = self.path("docstats")
         p_global = self.path("globalstats")
-        gstats: Optional[dict] = None
-        if force or not _stage_done(p_docstats):
-            force = True
-            t0 = time.time()
-            obs = Observation("gstats")
-            (terms.filter(F.col("gen") == 0).groupBy("doc_id")
-             .agg(F.max("doclen").alias("doclen"))
-             .withColumn("gen", F.lit(0))
-             .observe(obs,
-                      F.count("doc_id").alias("n_docs"),
-                      F.sum("doclen").alias("total_doclen"),
-                      F.min("doclen").alias("doclen_lb"),
-                      F.max("doclen").alias("doclen_ub"),
-                      F.max("doc_id").alias("max_doc_id"))
-             .write.mode("overwrite").parquet(p_docstats))
-            gstats = dict(obs.get)
-            gstats["avg_doclen"] = (
-                gstats["total_doclen"] / gstats["n_docs"]
-                if gstats.get("n_docs") else 0.0)
-            stages.append({"stage": "docstats", "sec": time.time() - t0})
-        docstats = self.spark.read.parquet(p_docstats)
-
-        if force or not _stage_done(p_global) or \
-                not _stage_current(self.spark, p_global):
-            force = True
-            t0 = time.time()
-            if gstats is None:  # resume: docstats exists, re-aggregate
-                g = docstats.filter(F.col("gen") == 0).agg(
-                    F.count("doc_id").alias("n_docs"),
-                    F.sum("doclen").alias("total_doclen"),
-                    F.min("doclen").alias("doclen_lb"),
-                    F.max("doclen").alias("doclen_ub"),
-                    F.max("doc_id").alias("max_doc_id"),
-                ).collect()[0].asDict()
-                g["avg_doclen"] = (g["total_doclen"] / g["n_docs"]
-                                   if g["n_docs"] else 0.0)
-                gstats = g
-            # 1-row artifact: write it driver-side with pyarrow — a
-            # Spark job for a single row costs ~1.5 s of pure
-            # scheduling at any scale (types pinned to match upsert's
-            # gen-tagged appends)
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-            import shutil as _sh
-            tbl = pa.table({
-                "n_docs": pa.array([gstats.get("n_docs")], pa.int64()),
-                "total_doclen": pa.array([gstats.get("total_doclen")],
-                                         pa.int64()),
-                "doclen_lb": pa.array([gstats.get("doclen_lb")],
-                                      pa.int32()),
-                "doclen_ub": pa.array([gstats.get("doclen_ub")],
-                                      pa.int32()),
-                "max_doc_id": pa.array([gstats.get("max_doc_id")],
-                                       pa.int64()),
-                "avg_doclen": pa.array([gstats.get("avg_doclen")],
-                                       pa.float64()),
-                "gen": pa.array([0], pa.int32()),
-            })
-            if os.path.exists(p_global):
-                _sh.rmtree(p_global)
-            os.makedirs(p_global)
-            pq.write_table(tbl, os.path.join(p_global,
-                                             "part-00000.parquet"))
-            open(os.path.join(p_global, "_SUCCESS"), "w").close()
-            stages.append({"stage": "globalstats", "sec": time.time() - t0})
-        else:
-            gstats = self.spark.read.parquet(p_global) \
-                .filter(F.col("gen") == 0).drop("gen") \
-                .collect()[0].asDict()
-
-        # stage 4: dictionary (term stats; drives termweights +
-        # wildcards).  The manifest metrics (n_postings, skew) ride the
-        # write as an Observation — no separate dict scan afterwards.
         p_dict = self.path("dict")
-        dict_stats: Optional[dict] = None
-        if force or not _stage_done(p_dict):
-            force = True
+        p_post = self.path("postings")
+        need_terms = force or not _stage_done(p_terms) or \
+            not _stage_current(self.spark, p_terms, binary_positions=True)
+        need_docstats = force or not _stage_done(p_docstats)
+        need_global = need_docstats or not _stage_done(p_global) or \
+            not _stage_current(self.spark, p_global)
+        need_dict = force or not _stage_done(p_dict)
+        need_post = force or not _stage_done(p_post)
+
+        import threading
+        _lock = threading.Lock()
+        results: dict = {}
+
+        def record(name: str, sec: float) -> None:
+            with _lock:
+                stages.append({"stage": name, "sec": sec})
+
+        def run_termlist() -> None:
+            # forward termlist (terms/): the row-per-(doc, term) table
+            # eset / upsert / the xq oracle consume — now DERIVED from
+            # the partials by a vectorized decode instead of being the
+            # artifact everything re-reads.  Identical rows to the v4
+            # staging (order aside).
+            self.spark.sparkContext.setJobDescription(
+                "build: termlist (derive from partials)")
+            t0 = time.time()
+            cols = ["term", "bucket", "block", "n", "doc_gaps",
+                    "wdfs", "doclens", "positions"]
+            (part0.select(*cols)
+             .mapInPandas(_termlist_kernel(self.n_buckets),
+                          schema=TERMS_SCHEMA)
+             .withColumn("gen", F.lit(0))
+             .write.mode("overwrite").parquet(p_terms))
+            record("terms", time.time() - t0)
+
+        def run_docstats() -> None:
+            # doc + collection statistics (A2/A3) from the 3 narrow
+            # partials columns — term strings and positions never reach
+            # this stage.  The collection aggregates ride the write as
+            # an Observation, exactly as before.
+            self.spark.sparkContext.setJobDescription("build: docstats")
+            gstats: Optional[dict] = None
+            if need_docstats:
+                t0 = time.time()
+                obs = Observation("gstats")
+                (part0.select("doc_gaps", "doclens", "n")
+                 .mapInArrow(_docstats_kernel(),
+                             "doc_id bigint, doclen int")
+                 .groupBy("doc_id")
+                 .agg(F.max("doclen").alias("doclen"))
+                 .withColumn("gen", F.lit(0))
+                 .observe(obs,
+                          F.count("doc_id").alias("n_docs"),
+                          F.sum("doclen").alias("total_doclen"),
+                          F.min("doclen").alias("doclen_lb"),
+                          F.max("doclen").alias("doclen_ub"),
+                          F.max("doc_id").alias("max_doc_id"))
+                 .write.mode("overwrite").parquet(p_docstats))
+                gstats = dict(obs.get)
+                gstats["avg_doclen"] = (
+                    gstats["total_doclen"] / gstats["n_docs"]
+                    if gstats.get("n_docs") else 0.0)
+                record("docstats", time.time() - t0)
+            if need_global:
+                t0 = time.time()
+                if gstats is None:  # resume: docstats exists, re-agg
+                    g = (self.spark.read.parquet(p_docstats)
+                         .filter(F.col("gen") == 0).agg(
+                             F.count("doc_id").alias("n_docs"),
+                             F.sum("doclen").alias("total_doclen"),
+                             F.min("doclen").alias("doclen_lb"),
+                             F.max("doclen").alias("doclen_ub"),
+                             F.max("doc_id").alias("max_doc_id"))
+                         .collect()[0].asDict())
+                    g["avg_doclen"] = (g["total_doclen"] / g["n_docs"]
+                                       if g["n_docs"] else 0.0)
+                    gstats = g
+                # 1-row artifact: write it driver-side with pyarrow — a
+                # Spark job for a single row costs ~1.5 s of pure
+                # scheduling at any scale (types pinned to match
+                # upsert's gen-tagged appends)
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                import shutil as _sh
+                tbl = pa.table({
+                    "n_docs": pa.array([gstats.get("n_docs")],
+                                       pa.int64()),
+                    "total_doclen": pa.array(
+                        [gstats.get("total_doclen")], pa.int64()),
+                    "doclen_lb": pa.array([gstats.get("doclen_lb")],
+                                          pa.int32()),
+                    "doclen_ub": pa.array([gstats.get("doclen_ub")],
+                                          pa.int32()),
+                    "max_doc_id": pa.array([gstats.get("max_doc_id")],
+                                           pa.int64()),
+                    "avg_doclen": pa.array([gstats.get("avg_doclen")],
+                                           pa.float64()),
+                    "gen": pa.array([0], pa.int32()),
+                })
+                if os.path.exists(p_global):
+                    _sh.rmtree(p_global)
+                os.makedirs(p_global)
+                pq.write_table(tbl, os.path.join(p_global,
+                                                 "part-00000.parquet"))
+                open(os.path.join(p_global, "_SUCCESS"), "w").close()
+                record("globalstats", time.time() - t0)
+            else:
+                gstats = self.spark.read.parquet(p_global) \
+                    .filter(F.col("gen") == 0).drop("gen") \
+                    .collect()[0].asDict()
+            with _lock:
+                results["gstats"] = gstats
+
+        def run_dict() -> None:
+            # dictionary from the partials' tiny numeric columns:
+            # df = Σ run lengths, cf = Σ per-run wdf sums, wdf_max =
+            # max per-run max — no string re-scan, no decode.  Same
+            # output rows and types as the v4 staging aggregation.
+            self.spark.sparkContext.setJobDescription("build: dict")
             t0 = time.time()
             dobs = Observation("dictstats")
-            (terms.filter(F.col("gen") == 0).groupBy("term", "bucket")
-             .agg(F.count("doc_id").alias("df"),
-                  F.sum("wdf").alias("cf"),
-                  F.max("wdf").alias("wdf_max"))
+            (part0.groupBy("term", "bucket")
+             .agg(F.sum("n").cast("long").alias("df"),
+                  F.sum("sum_wdf").cast("long").alias("cf"),
+                  F.max("block_max_wdf").alias("wdf_max"))
              .withColumn("gen", F.lit(0))
              .withColumn("tpfx", F.substring("term", 1, 1))
              .repartition("tpfx", "bucket")
@@ -788,29 +1201,22 @@ class IndexBuilder:
                       F.count("term").alias("n_terms"))
              .write.mode("overwrite")
              .partitionBy("tpfx").parquet(p_dict))
-            dict_stats = dict(dobs.get)
-            stages.append({"stage": "dict", "sec": time.time() - t0})
+            with _lock:
+                results["dict_stats"] = dict(dobs.get)
+            record("dict", time.time() - t0)
 
-        # stage 5: posting blocks (delta+varint, block-max bounds)
-        p_post = self.path("postings")
-        if force or not _stage_done(p_post):
+        def run_postings() -> None:
+            # phase 2 of the inversion only: the partials ARE the
+            # phase-1 output, so this stage is shuffle + concat-merge +
+            # write — the staging re-scan and the map-side sort that
+            # dominated rounds 2-5 are gone.
+            self.spark.sparkContext.setJobDescription("build: postings")
             t0 = time.time()
-            lf = bm25.len_factor(float(gstats["avg_doclen"] or 0.0))
-            if dict_stats is None:
-                # resuming past a completed dict stage: reload its
-                # aggregates so the inversion partition sizing and the
-                # manifest metrics see the real posting counts (one
-                # tiny scan of the dict parquet)
-                dict_stats = (self.spark.read.parquet(p_dict)
-                              .filter(F.col("gen") == 0).agg(
-                                  F.sum("df").alias("n_postings"),
-                                  F.max("df").alias("max_df"),
-                                  F.avg("df").alias("avg_df"),
-                                  F.count("term").alias("n_terms"))
-                              .collect()[0].asDict())
-            src = terms.filter(F.col("gen") == 0).drop("bucket")
-            n_post = int(dict_stats.get("n_postings") or 0) \
-                if dict_stats is not None else 0
+            if part_stats is not None:
+                n_post = int(part_stats.get("n_postings") or 0)
+            else:  # resume: one tiny scan of the run-length column
+                n_post = int(part0.agg(
+                    F.sum("n")).collect()[0][0] or 0)
             # size the partial-run shuffle by DATA VOLUME when the
             # default is too coarse: the wire carries already-encoded
             # run payloads (~6 B/posting upper bound) and a reduce
@@ -825,11 +1231,31 @@ class IndexBuilder:
             n_by_bytes = n_post * 6 // (part_mb << 20) + 1
             n_inv = min(10000, n_by_bytes) \
                 if n_by_bytes > sp_default else None
-            (invert_postings(src, lf, self.n_buckets, n_inv)
+            (merge_partials(part0.select(*_POSTINGS_COLS), n_inv)
              .withColumn("gen", F.lit(0))
              .write.mode("overwrite")
              .partitionBy("bucket").parquet(p_post))
-            stages.append({"stage": "postings", "sec": time.time() - t0})
+            record("postings", time.time() - t0)
+
+        tasks = []
+        if need_terms:
+            tasks.append(run_termlist)
+        tasks.append(run_docstats)  # always: produces results["gstats"]
+        if need_dict:
+            tasks.append(run_dict)
+        if need_post:
+            tasks.append(run_postings)
+        if len(tasks) == 1:
+            tasks[0]()
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+                futures = [pool.submit(t) for t in tasks]
+                for fut in futures:
+                    fut.result()  # re-raise the first stage failure
+        self.spark.sparkContext.setJobDescription(None)
+        gstats = results["gstats"]
+        dict_stats: Optional[dict] = results.get("dict_stats")
 
         # metrics + manifest (lineage per north rule); the dict
         # aggregates come from the write-time Observation on a fresh

@@ -561,3 +561,123 @@ def test_batch_search_volume_cap_grouping(spark, index, oracle):
         expected = oracle.search(q, k=5)
         got = sorted(by_q.get(qid, []))
         assert_results_match(expected, [(d, s) for _, d, s in got])
+
+
+def test_fused_termlist_matches_v4_staging_kernel(spark, index):
+    """Round-6 fused build: the derived forward termlist (terms/, now
+    decoded back out of the partial posting runs) must be row-identical
+    — including position blobs and buckets — to what the v4
+    row-per-(doc, term) staging kernel produces over the same forward
+    store."""
+    from pyspark.sql import functions as F
+    from mdq_spark.build import TERMS_SCHEMA, _tokenize_batches
+
+    out, _ = index
+    derived = spark.read.parquet(f"{out}/terms").drop("gen")
+    docs = spark.read.parquet(f"{out}/docs").drop("gen")
+    ref = docs.mapInPandas(_tokenize_batches(8, 4, "xapian", False),
+                           schema=TERMS_SCHEMA)
+
+    def rows(df):
+        picked = df.select(
+            "term", "bucket", "block", "doc_id", "wdf", "doclen",
+            F.coalesce(F.hex(F.col("positions")), F.lit("NULL"))
+            .alias("p"))
+        return sorted(tuple(r) for r in picked.collect())
+
+    assert rows(derived) == rows(ref)
+
+
+def test_fused_partials_merge_to_same_postings(spark, index):
+    """The postings/ dir written from the fused partials must hold the
+    same decoded posting content as a from-staging invert_postings run
+    (the upsert path's pipeline) over the derived termlist."""
+    from pyspark.sql import functions as F
+    from mdq_spark import bm25
+    from mdq_spark.build import invert_postings
+    from mdq_spark.codec import (
+        decode_doc_gaps, decode_positions, varint_decode,
+    )
+
+    out, manifest = index
+    lf = bm25.len_factor(manifest["globalstats"]["avg_doclen"])
+    terms = spark.read.parquet(f"{out}/terms") \
+        .filter(F.col("gen") == 0).drop("bucket")
+
+    def decoded(df):
+        rows = []
+        for r in df.collect():
+            n = int(r["n"])
+            ids = decode_doc_gaps(bytes(r["doc_gaps"]), n)
+            wdfs = varint_decode(bytes(r["wdfs"]), n)
+            dls = varint_decode(bytes(r["doclens"]), n)
+            pls = decode_positions(bytes(r["positions"]), n) \
+                if r["positions"] is not None else [()] * n
+            for i in range(n):
+                rows.append((r["term"], int(r["block"]), int(ids[i]),
+                             int(wdfs[i]), int(dls[i]),
+                             tuple(int(x) for x in pls[i])))
+        return sorted(rows)
+
+    built = decoded(spark.read.parquet(f"{out}/postings")
+                    .filter(F.col("gen") == 0))
+    ref = decoded(invert_postings(terms.coalesce(1), lf, 8))
+    assert built == ref
+
+
+def test_fused_kernel_repairs_unsorted_partition(spark):
+    """The fused tokenize->encode kernel verifies ascending doc order
+    per partition and falls back to a per-term argsort at flush when
+    violated — encoded runs must come out identical either way."""
+    from pyspark.sql import functions as F
+    from mdq_spark.build import (
+        DOCS_SCHEMA, PARTIALS_SCHEMA, _tokenize_encode_batches,
+    )
+
+    rows = [{**d, "sha256": _sha(d["body"])} for d in DOCS]
+    fwd = [r for r in rows if r["doc_id"] <= 3]
+    rev = list(reversed(fwd))
+    kern = _tokenize_encode_batches(8, 1 << 16, "xapian", False)
+
+    def encode(doclist):
+        df = spark.createDataFrame(doclist, schema=DOCS_SCHEMA) \
+            .coalesce(1)
+        part = df.mapInPandas(kern, schema=PARTIALS_SCHEMA)
+        return sorted(
+            tuple(r) for r in part.select(
+                "term", "block", "first_doc", "last_doc", "n",
+                F.hex("doc_gaps"), F.hex("wdfs"), F.hex("doclens"),
+                F.coalesce(F.hex(F.col("positions")), F.lit("NULL")),
+                "block_max_wdf", "block_min_doclen", "sum_wdf")
+            .collect())
+
+    assert encode(rev) == encode(fwd)
+
+
+def test_docs_stage_range_shuffle_skip(spark, tmp_path):
+    """_ranges_disjoint: dense_ids/documents-table inputs (disjoint
+    per-partition doc-id ranges) skip the forward-store range exchange;
+    hash-partitioned input falls back to the shuffle.  Either way the
+    written forward store is doc-clustered and the built index is
+    identical."""
+    from pyspark.sql import functions as F
+    from mdq_spark.build import DOCS_SCHEMA, IndexBuilder
+
+    rows = [{**d, "sha256": _sha(d["body"])} for d in DOCS]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    b = IndexBuilder(spark, str(tmp_path / "i"))
+    ordered = df.repartitionByRange(3, "doc_id")
+    assert b._ranges_disjoint(ordered)
+    hashed = df.repartition(3, "doc_id")
+    assert not b._ranges_disjoint(hashed)
+
+    out = str(tmp_path / "idx_hashed")
+    manifest = build_index(spark, hashed, out, block_span=4, n_buckets=8)
+    # the fallback path still writes doc-clustered, disjoint files
+    stats = (spark.read.parquet(f"{out}/docs")
+             .select(F.spark_partition_id().alias("p"), "doc_id")
+             .groupBy("p").agg(F.min("doc_id").alias("lo"),
+                               F.max("doc_id").alias("hi")).collect())
+    spans = sorted((r["lo"], r["hi"]) for r in stats)
+    assert all(a[1] < b2[0] for a, b2 in zip(spans, spans[1:]))
+    assert manifest["metrics"]["n_docs"] == len(DOCS)
