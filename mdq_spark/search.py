@@ -573,6 +573,64 @@ class Searcher:
                 cond = F.col("tpfx").isin(chars) & cond
         return self.dict.filter(cond)
 
+    def _dict_rows_arrow(self, terms: list[str], patterns: list[str],
+                         margin: Optional[int]):
+        """Driver-side dictionary lookup via a pushed-down pyarrow read
+        of ONLY the needed first-byte partitions — the Xapian-btree-
+        lookup analog.  A per-query dictionary probe touches a handful
+        of rows, and the 100-150 ms Spark job it used to cost was pure
+        scheduling overhead (guide §1: per-query latency at sf1.0 was
+        dominated by fixed cost, not work); the pyarrow path is 3-10 ms
+        against the same files with the same term/gen predicates and
+        row-group pruning off the sorted term column.  Returns a list
+        of plain row dicts, or None when this path cannot serve the
+        lookup faithfully (no hive-partitioned dict on local disk,
+        empty term/pattern strings) — the caller then falls back to the
+        Spark collect, and the hot-prefix DISTRIBUTED escalation is
+        untouched (``margin`` has the same overflow semantics)."""
+        if os.environ.get("MDQ_ARROW_DICT", "1") != "1":
+            return None
+        if any(not t for t in terms) or any(not p for p in patterns):
+            return None
+        dict_dir = os.path.join(
+            self.dir, self.manifest.get("dict_dir", "dict"))
+        try:
+            import glob
+            import urllib.parse
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+            subdirs = [d for d in os.listdir(dict_dir)
+                       if d.startswith("tpfx=")]
+            if not subdirs:
+                return None  # not a v4+ first-byte-partitioned dict
+            want = {t[0] for t in terms} | {p[0] for p in patterns}
+            files = []
+            for d in subdirs:
+                if urllib.parse.unquote(d[5:]) in want:
+                    files.extend(glob.glob(
+                        os.path.join(dict_dir, d, "*.parquet")))
+            if not files:
+                return []
+            conds = []
+            if terms:
+                conds.append(pc.field("term").isin(terms))
+            for p in patterns:
+                conds.append(pc.starts_with(pads.field("term"), p))
+            expr = conds[0]
+            for c in conds[1:]:
+                expr = expr | c
+            if self.committed is not None:
+                expr = expr & pads.field("gen").isin(self.committed)
+            cols = ["term", "bucket", "df", "cf", "wdf_max"]
+            dset = pads.dataset(files, format="parquet")
+            if margin is not None:
+                tbl = dset.head(margin, filter=expr, columns=cols)
+            else:
+                tbl = dset.to_table(filter=expr, columns=cols)
+            return tbl.to_pylist()
+        except Exception:
+            return None  # any surprise -> the Spark path is the oracle
+
     def _dict_lookup(self, terms: list[str], patterns: list[str]) -> dict:
         """One pruned dict scan for all exact terms + prefix patterns.
         Returns {'exact': {term: row}, 'expansions': {pattern: [terms]}}.
@@ -580,18 +638,19 @@ class Searcher:
         The driver never receives more than ``len(terms) +
         wildcard_limit × len(patterns)`` rows (ADVICE r03 medium: the
         previous code collected the full expansion and only then
-        truncated).  Adaptive two-phase: the common case collects the
-        pruned scan under a LIMIT of exactly that bound (CollectLimit —
-        no shuffle, early-stops; same latency as a plain collect) and,
-        when the limit is NOT hit, the result set is complete and the
-        old driver-side aggregation applies.  Only when a genuinely hot
-        prefix overflows the bound does the lookup escalate to a fully
-        distributed pass where gen aggregation, delta folding, and the
-        most-frequent cap all run scan-side."""
+        truncated).  Adaptive two-phase: the common case reads the
+        pruned fragment driver-side via pyarrow (``_dict_rows_arrow``;
+        the Spark CollectLimit is the fallback with identical
+        semantics) and, when the margin is NOT hit, the result set is
+        complete and the driver-side aggregation applies.  Only when a
+        genuinely hot prefix overflows the bound does the lookup
+        escalate to a fully distributed pass where gen aggregation,
+        delta folding, and the most-frequent cap all run scan-side."""
         scan = self._dict_scan(terms, patterns)
         if scan is None:
             return {"exact": {}, "expansions": {}, "all": {}}
         cap = self.wildcard_limit
+        margin: Optional[int] = None
         if patterns and cap:
             # the raw scan yields up to one row per committed
             # GENERATION per term (upsert appends), so the completeness
@@ -602,13 +661,15 @@ class Searcher:
             # the last compact), so the collect stays bounded.
             n_gens = max(1, len(self.committed or [0]))
             margin = (len(terms) + cap * len(patterns)) * n_gens + 1
-            raw = scan.limit(margin).collect()
-            if len(raw) >= margin:
-                return self._dict_lookup_distributed(
-                    scan, terms, patterns)
-        else:
-            # exact-only, or explicit unlimited expansion
-            raw = scan.collect()
+        raw = self._dict_rows_arrow(terms, patterns, margin)
+        if raw is None:
+            if margin is not None:
+                raw = scan.limit(margin).collect()
+            else:
+                # exact-only, or explicit unlimited expansion
+                raw = scan.collect()
+        if margin is not None and len(raw) >= margin:
+            return self._dict_lookup_distributed(scan, terms, patterns)
         self._last_dict_rows_collected = len(raw)
         # a term may have several dict rows (one per upsert
         # generation): aggregate, then apply tombstone deltas so
@@ -996,8 +1057,7 @@ class Searcher:
             # a positional node needs it (and is decoded only at AND-
             # survivor indices inside the kernel)
             cols.append("positions")
-        enc = (blocks.select(*cols)
-               .repartition("block").sortWithinPartitions("block"))
+        enc = self._block_grouped(blocks.select(*cols), terms, ctx)
         out = enc.mapInPandas(
             _tree_kernel([(None, spec)], sorted(terms), self.lf,
                          frozenset(pos_terms)),
@@ -1007,6 +1067,28 @@ class Searcher:
         if ctx["allowed"] is not None:
             out = out.join(ctx["allowed"], "doc_id", "left_semi")
         return out
+
+    # below this estimated posting volume (Σ df over the scan's terms,
+    # read off the dictionary rows already in hand) the tree kernel's
+    # block exchange is skipped: the whole pruned scan collapses into
+    # ONE task (coalesce + local sort), because shuffling ~a megabyte
+    # across the cluster costs more scheduling than one core's decode.
+    # Volume-driven, so it self-disables at scale: hot terms at 10^9+
+    # docs blow past the bound and keep the parallel exchange.
+    LOCAL_EVAL_ROWS = 2_000_000
+
+    def _block_grouped(self, enc: DataFrame, terms, ctx: dict) -> DataFrame:
+        """Group encoded posting rows by doc-range block for the tree
+        kernel: a hash exchange on ``block`` in general, a single-task
+        local sort when the dictionary proves the volume is tiny
+        (guide §2.4 — remove shuffles outright when they don't pay)."""
+        known = ctx["dict"]["all"]
+        vol = sum(int(known[t]["df"]) for t in terms if t in known)
+        cap = int(os.environ.get("MDQ_LOCAL_EVAL_ROWS",
+                                 str(self.LOCAL_EVAL_ROWS)))
+        if vol <= cap:
+            return enc.coalesce(1).sortWithinPartitions("block")
+        return enc.repartition("block").sortWithinPartitions("block")
 
     def _positional(self, node: Positional, ctx: dict) -> DataFrame:
         """PHRASE / NEAR via the block-local tree kernel: positions are
@@ -1495,8 +1577,7 @@ class Searcher:
             cols = ["block", "term", "n", "doc_gaps", "wdfs", "doclens"]
             if g_pos:
                 cols.append("positions")
-            enc = (blocks.select(*cols)
-                   .repartition("block").sortWithinPartitions("block"))
+            enc = self._block_grouped(blocks.select(*cols), g_terms, ctx)
             out = enc.mapInPandas(
                 _tree_kernel(group, sorted(g_terms), self.lf,
                              frozenset(g_pos)),
