@@ -70,13 +70,35 @@ def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.05,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard: join on shared shingles (never
-    a cross join), |A∩B| by count, sizes broadcast back in."""
+    a cross join), |A∩B| by count, sizes broadcast back in.
+
+    ``max_shingle_df`` is the 100 TB guard (VERDICT r05 #3): the
+    candidate self-join emits O(df²) rows per shingle, so ONE
+    ubiquitous shingle ("of_the_and" in millions of docs) is an
+    all-pairs blowup smuggled in via skew.  With the cap set, shingles
+    whose document frequency exceeds it are dropped from the candidate
+    join (per-doc set sizes stay exact): a shingle shared by more than
+    ``max_shingle_df`` documents carries no near-dup signal, and a pair
+    overlapping ONLY in such shingles cannot clear a meaningful
+    threshold anyway — its Jaccard is at most hot/|A∪B| with every hot
+    shingle also inflating the union.  Default None keeps the exact
+    semantics the DuckDB oracle re-derives; at scale this op is
+    verification-grade only with the cap on (or use minhash_lsh_pairs,
+    the banded scale path)."""
     sh = shingle_rows(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    join_src = sh
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("sdf"))
+               .filter(F.col("sdf") > max_shingle_df)
+               .select("shingle"))
+        join_src = sh.join(hot, "shingle", "left_anti")
+    a = join_src.select(F.col(id_col).alias("a"), "shingle")
+    b = join_src.select(F.col(id_col).alias("b"), "shingle")
     inter = (a.join(b, "shingle")
              .filter(F.col("a") < F.col("b"))
              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
@@ -371,19 +393,10 @@ def ivf_assignments(emb_df: DataFrame, n_centroids: int = 8,
              base.filter(F.col(id_col).isin(seed_ids))
              .orderBy(id_col).collect()]
 
-    def assign_col(cent_list):
-        best = F.lit(0)
-        best_sim = F.lit(float("-inf"))
-        for ci, c in enumerate(cent_list):
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            sim = _dot(F.col("v"), arr) / (_norm(F.col("v")) + F.lit(1e-12))
-            best = F.when(sim > best_sim, F.lit(ci)).otherwise(best)
-            best_sim = F.greatest(best_sim, sim)
-        return best
-
+    assign = _assign_kernel(base, cents)
     assigned = base
     for _ in range(iters):
-        assigned = base.withColumn("centroid", assign_col(cents))
+        assigned = assign(cents)
         means = (assigned
                  .select("centroid", F.posexplode("v").alias("d", "x"))
                  .groupBy("centroid", "d").agg(F.avg("x").alias("m"))
@@ -393,8 +406,63 @@ def ivf_assignments(emb_df: DataFrame, n_centroids: int = 8,
         for r in means:
             new[r["centroid"]][r["d"]] = r["m"]
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
-    assigned = base.withColumn("centroid", assign_col(cents))
+    assigned = assign(cents)
     return assigned, cents
+
+
+def _assign_kernel(base: DataFrame, seed_cents):
+    """Centroid assignment as an Arrow/numpy kernel (VERDICT r05 #4).
+
+    The previous implementation unrolled ``n_centroids x dim``
+    ``F.lit`` terms into one Catalyst expression per assignment —
+    correct at (8, 64) but the expression tree alone would stall the
+    optimizer at production centroid counts (4k+).  The kernel receives
+    the centroid matrix via closure and reduces the plan to ONE
+    MapInPandas node regardless of n_centroids.
+
+    Float semantics are BIT-IDENTICAL to the old column expression
+    (the driver's DuckDB oracle re-derives the same fold in SQL): the
+    dot product and the squared norm accumulate sequentially over
+    dimensions (exactly the left-fold ``aggregate(zip_with(...))``
+    evaluation order, one IEEE add/mul per element per step), the norm
+    guard is ``sqrt(acc) + 1e-12``, and ties keep the LOWEST centroid
+    index (strict ``>`` update, centroids visited in order)."""
+
+    def assign(cent_list) -> DataFrame:
+        import numpy as np
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        cents = [np.asarray(c, dtype="float64") for c in cent_list]
+        out_schema = StructType(
+            list(base.schema.fields)
+            + [StructField("centroid", IntegerType(), False)])
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(x, dtype="float64")
+                              for x in pdf["v"]])
+                acc_n = np.zeros(len(V))
+                for d in range(V.shape[1]):
+                    acc_n = acc_n + V[:, d] * V[:, d]
+                nrm = np.sqrt(acc_n) + 1e-12
+                best = np.zeros(len(V), dtype="int32")
+                best_sim = np.full(len(V), -np.inf)
+                for ci, c in enumerate(cents):
+                    acc = np.zeros(len(V))
+                    for d in range(V.shape[1]):
+                        acc = acc + V[:, d] * c[d]
+                    sim = acc / nrm
+                    upd = sim > best_sim
+                    best[upd] = ci
+                    best_sim = np.maximum(best_sim, sim)
+                pdf = pdf.copy()
+                pdf["centroid"] = best
+                yield pdf
+
+        return base.mapInPandas(fn, schema=out_schema)
+
+    return assign
 
 
 def ann_ivf_topk(emb_df: DataFrame, query_vec: list[float], k: int = 10,

@@ -1130,6 +1130,16 @@ class Searcher:
             def key(c):
                 return leaf_tw(c)
             kids = sorted(node.children, key=key, reverse=True)[:10]
+            if not kids:
+                return self._empty()
+            # the kept-children set is decided driver-side; their union
+            # (weights summed — OR semantics) then folds into the SAME
+            # single tree-kernel exchange as any other boolean tree
+            # (VERDICT r05 #6: previously each kept child ran its own
+            # _eval + union, N exchanges for N distinct-shape children)
+            merged = self._block_eval_tree(Bool("OR", tuple(kids)), ctx)
+            if merged is not None:
+                return merged
             out = None
             for c in kids:
                 d = self._eval(c, ctx)

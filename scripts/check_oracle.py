@@ -52,9 +52,11 @@ def main():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir)
             spark_rows = [r.asDict() for r in sdf.collect()]
@@ -97,6 +99,16 @@ def main():
         print(f"[ OK ] {name}: {len(spark_rows)} rows match")
 
     print()
+    # self-audit (VERDICT r05 #2): a full run must have exercised EVERY
+    # registered queries() key — a silent truncation (two entries had
+    # no CORRECTNESS_r05 row) fails loudly here instead of passing by
+    # omission
+    if not only and ran != len(qs):
+        print(f"AUDIT FAILURE: ran {ran} of {len(qs)} registered "
+              f"queries() entries")
+        sys.exit(2)
+    print(f"ran {ran}/{len(qs)} registered entries"
+          + (" (subset requested)" if only else ""))
     if failures:
         print(f"{len(failures)} FAILURES:")
         for n, msg in failures:

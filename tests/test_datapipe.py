@@ -195,3 +195,102 @@ def test_sessionize(spark):
            for r in sessionize_events(df).collect()}
     assert out[1] == (2, 3)
     assert out[2] == (2, 2)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """VERDICT r05 #3: max_shingle_df bounds the candidate self-join.
+    A shingle present in every doc would emit O(n_docs^2) join rows;
+    with the cap it is dropped from candidate generation (per-doc
+    sizes stay exact) while pairs sharing any informative shingle are
+    still found with the same rounded score."""
+    from mdq_spark.datapipe import ngram_jaccard_pairs, shingle_rows
+
+    # 40 docs that all share one ubiquitous leading trigram; docs 0/1
+    # are real near-dups beyond it
+    rows = [(0, "common prefix here the quick brown fox jumps high"),
+            (1, "common prefix here the quick brown fox leaps high")]
+    rows += [(i, f"common prefix here unique{i} text{i} body{i} word{i}")
+             for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # candidate-volume bound: the capped join source holds no shingle
+    # with df > cap, so the worst-case join fan-out is cap^2 per
+    # shingle, not n_docs^2
+    sh = shingle_rows(df, 3)
+    hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+           .filter(F.col("sdf") > 8).select("shingle"))
+    pruned = sh.join(hot, "shingle", "left_anti")
+    max_df = (pruned.groupBy("shingle").count()
+              .agg(F.max("count")).collect()[0][0])
+    assert max_df <= 8
+    n_cand_uncapped = (sh.alias("x").join(sh.alias("y"), "shingle")
+                       .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+                       .count())
+    n_cand_capped = (pruned.alias("x").join(pruned.alias("y"), "shingle")
+                     .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+                     .count())
+    assert n_cand_uncapped >= 40 * 39 / 2   # the blowup is real
+    assert n_cand_capped < n_cand_uncapped / 10
+
+    capped = {(r["a"], r["b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(
+                  df, threshold=0.3, max_shingle_df=8).collect()}
+    assert (0, 1) in capped          # true near-dup survives the cap
+    assert all(a == 0 and b == 1 for a, b in capped)
+    # default (cap off) keeps the exact oracle semantics
+    exact = {(r["a"], r["b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert (0, 1) in exact
+
+
+def test_ivf_assign_kernel_matches_sql_fold(spark):
+    """VERDICT r05 #4: the Arrow assignment kernel must be
+    BIT-IDENTICAL to the unrolled Catalyst fold it replaced (the
+    DuckDB oracle re-derives that fold in SQL): same sequential
+    accumulation order, same norm guard, same strict-> tie rule."""
+    import numpy as np
+    from mdq_spark.datapipe import _assign_kernel, _dot, _norm
+
+    rows = [(i, [((i * 31 + d * 7) % 13) / 7.0 - 0.9
+                 for d in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = [np.asarray([((c * 17 + d * 3) % 11) / 5.0 - 1.0
+                         for d in range(16)]) for c in range(6)]
+
+    got = {r["vec_id"]: r["centroid"]
+           for r in _assign_kernel(emb, cents)(cents).collect()}
+
+    # the pre-r6 unrolled expression, reconstructed verbatim
+    best = F.lit(0)
+    best_sim = F.lit(float("-inf"))
+    for ci, c in enumerate(cents):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        sim = _dot(F.col("v"), arr) / (_norm(F.col("v")) + F.lit(1e-12))
+        best = F.when(sim > best_sim, F.lit(ci)).otherwise(best)
+        best_sim = F.greatest(best_sim, sim)
+    want = {r["vec_id"]: r["c"]
+            for r in emb.select("vec_id", best.alias("c")).collect()}
+    assert got == want
+
+
+def test_ivf_kernel_scales_to_many_centroids(spark):
+    """256 centroids x 64 dims must plan and run in seconds — the
+    unrolled-literal plan this replaced would inflate Catalyst with
+    16k literal terms per assignment."""
+    import time
+    import numpy as np
+    from mdq_spark.datapipe import _assign_kernel
+
+    rows = [(i, [float((i + d) % 7) for d in range(64)])
+            for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = [np.asarray([float((c * 3 + d) % 5) for d in range(64)])
+             for c in range(256)]
+    t0 = time.time()
+    out = _assign_kernel(emb, cents)(cents)
+    n = out.groupBy("centroid").count().count()
+    elapsed = time.time() - t0
+    assert n >= 1
+    assert elapsed < 30, elapsed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
