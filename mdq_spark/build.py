@@ -1,25 +1,40 @@
 """Distributed inverted-index build (SURVEY.md §2.5 A1-A3, §3.1).
 
 Spark-first pipeline, every stage a checkpointed parquet write so the
-build is resumable from per-partition checkpoints (north rule):
+build is resumable from per-partition checkpoints (north rule).  Since
+round 6 the tokenize pass IS phase 1 of the inversion (VERDICT r05 #1)
+and everything downstream derives from its encoded output concurrently:
 
-  docs ──mapInPandas(tokenize)──▶ terms staging
-       ├─ groupBy(doc) ▶ docstats / globalstats
-       ├─ groupBy(term) ▶ dict (df, cf, wdf_max)
-       └─ groupBy(term, doc-range block) ▶ postings (delta+varint blocks)
+  docs ──mapInPandas(tokenize+encode)──▶ partials (the checkpoint)
+       ├─ shuffle(term, block) + concat-merge ▶ postings
+       ├─ decode (vectorized)               ▶ terms (forward termlist)
+       ├─ decode (3 narrow cols)            ▶ docstats / globalstats
+       └─ groupBy(term) over run metadata   ▶ dict (df, cf, wdf_max)
+
+The four consumers are independent (the dead stored block-max bound was
+the only avg_doclen dependency) and run from a small thread pool so the
+tiny stages back-fill the postings stage's straggler tail (guide §2.6).
+Nothing tokenizes twice and nothing re-reads a row-per-(doc, term)
+staging table — the 68%-of-stage staging re-scan measured at amp1000 in
+round 5 is structurally gone.
 
 Index layout under ``<out_dir>/``:
 
 * ``docs/``        forward store, sorted by doc_id (row payload; replaces
                    the reference's ``set_data`` JSON blob, SURVEY.md §1.4)
-* ``terms/``       tokenized staging = the resume checkpoint
+* ``partials/``    fused tokenize output: per (term, doc-range block,
+                   input split) encoded partial posting runs = the
+                   resume checkpoint
+* ``terms/``       forward termlist, row per (doc, term) — derived from
+                   partials; consumed by eset/upsert/the xq oracle
 * ``docstats/``    doc_id -> doclen (sum of wdf incl. Z-stem rows — A3)
 * ``globalstats/`` N, total/avg doclen, bounds (A2)
 * ``dict/``        per-term df/cf/wdf_max, hash-bucketed (A2)
 * ``postings/``    per (term, doc-range block): delta-gap+varint docid
                    run, varint wdfs, varint doclens (denormalized to keep
-                   scoring join-free), positions, and the block-max score
-                   bound for WAND pruning (O3)
+                   scoring join-free), positions (block-max score bounds
+                   are derived at query time from block_max_wdf +
+                   block_min_doclen under the current 1/avgdl)
 * ``manifest.json`` build params, stage lineage, metrics (docs/sec,
                    postings/sec, skew factor)
 
@@ -31,13 +46,13 @@ final posting runs are already docid-sorted and disjoint: no sorted-merge
 pass is needed afterwards, and no Python worker ever materializes more
 than ``block_span`` postings of one term.
 
-Inversion is TWO-PHASE since round 5 (``invert_postings``): partitions
-of the tokenize staging cover disjoint contiguous doc-id ranges, so each
-is sorted in place (no exchange) and encoded into *partial* posting
-blocks map-side; the shuffle then moves one already-encoded row per
-(term, block, staging-split) — run-length× fewer rows than postings —
-and the reduce concatenates each group's disjoint runs with a one-varint
-bridge patch instead of re-sorting a row per posting.
+Inversion is TWO-PHASE (round 5's ``invert_postings``, kept verbatim
+for the upsert path): phase 1 encodes partial runs map-side over
+doc-disjoint splits, phase 2 shuffles one already-encoded row per
+(term, block, split) — run-length× fewer rows than postings — and
+concatenates each group's disjoint runs with a one-varint bridge patch
+instead of re-sorting a row per posting.  The fresh build emits phase
+1's output straight from the tokenizer.
 """
 
 from __future__ import annotations
