@@ -1023,12 +1023,26 @@ class IndexBuilder:
             # (one parquet split) would otherwise funnel the whole
             # fused tokenize stage through one task.  At scale the
             # input split count dwarfs the core count, which is exactly
-            # when the corpus-wide shuffle is worth removing.
+            # when the corpus-wide shuffle is worth removing.  The
+            # free inputFiles() count pre-filters so the small case
+            # pays neither the RDD-conversion partition probe (~0.4 s)
+            # nor the check job; the fallback shuffle uses an EXPLICIT
+            # 2×parallelism partition count — measured 2.4 s vs 3.5 s
+            # for the implicit count at sf1.0/c32, because AQE
+            # coalesces the range exchange below the core count and
+            # starves the sort+write of parallelism.
             par = max(self.spark.sparkContext.defaultParallelism, 1)
-            src = docs_df
-            if docs_df.rdd.getNumPartitions() < par or \
-                    not self._ranges_disjoint(docs_df):
-                src = docs_df.repartitionByRange("doc_id")
+            src = None
+            try:
+                n_files = len(docs_df.inputFiles())
+            except Exception:
+                n_files = 0
+            if n_files >= par and \
+                    docs_df.rdd.getNumPartitions() >= par and \
+                    self._ranges_disjoint(docs_df):
+                src = docs_df
+            if src is None:
+                src = docs_df.repartitionByRange(par * 2, "doc_id")
             # 8 MB row groups keep single large files splittable for
             # the downstream tokenize scan and make the fetch join's
             # row-group pruning finer-grained

@@ -684,11 +684,18 @@ def test_docs_stage_range_shuffle_skip(spark, tmp_path):
 
     out = str(tmp_path / "idx_hashed")
     manifest = build_index(spark, hashed, out, block_span=4, n_buckets=8)
-    # the fallback path still writes doc-clustered, disjoint files
-    stats = (spark.read.parquet(f"{out}/docs")
-             .select(F.spark_partition_id().alias("p"), "doc_id")
-             .groupBy("p").agg(F.min("doc_id").alias("lo"),
-                               F.max("doc_id").alias("hi")).collect())
-    spans = sorted((r["lo"], r["hi"]) for r in stats)
+    # the fallback path still writes doc-clustered FILES with pairwise
+    # disjoint doc-id ranges (read-side split PACKING may interleave
+    # small files into one task — the merge kernel's overlap fallback
+    # covers that by design; the written layout is what matters here)
+    import glob
+    import pyarrow.parquet as pq
+    spans = []
+    for f in glob.glob(f"{out}/docs/*.parquet"):
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        if ids:
+            assert ids == sorted(ids), f
+            spans.append((min(ids), max(ids)))
+    spans.sort()
     assert all(a[1] < b2[0] for a, b2 in zip(spans, spans[1:]))
     assert manifest["metrics"]["n_docs"] == len(DOCS)
