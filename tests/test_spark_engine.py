@@ -699,3 +699,26 @@ def test_docs_stage_range_shuffle_skip(spark, tmp_path):
     spans.sort()
     assert all(a[1] < b2[0] for a, b2 in zip(spans, spans[1:]))
     assert manifest["metrics"]["n_docs"] == len(DOCS)
+
+
+def test_partial_resume_reruns_only_missing_stage(spark, index, tmp_path):
+    """Round-6 parallel stages are independently resumable: wiping one
+    downstream artifact re-runs ONLY that stage (stats reload from the
+    surviving artifacts), and the rebuilt stage's content matches."""
+    import shutil
+
+    out = str(tmp_path / "idx")
+    rows = [{**d, "sha256": _sha(d["body"])} for d in DOCS]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    m1 = build_index(spark, df, out, block_span=4, n_buckets=8)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/postings")
+        .select("term", "block", "n").collect())
+    shutil.rmtree(f"{out}/postings")
+    m2 = build_index(spark, df, out, block_span=4, n_buckets=8)
+    assert [s["stage"] for s in m2["stages"]] == ["postings"]
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/postings")
+        .select("term", "block", "n").collect())
+    assert after == before
+    assert m2["metrics"]["n_postings"] == m1["metrics"]["n_postings"]
