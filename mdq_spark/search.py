@@ -1315,10 +1315,23 @@ class Searcher:
         try:
             totals = per_block.agg(
                 F.count("block").alias("nb"),
-                F.sum("nd").alias("docs_ub")).collect()[0]
+                F.sum("nd").alias("docs_ub"),
+                F.min("ub").alias("ub_lo"),
+                F.max("ub").alias("ub_hi")).collect()[0]
             n_blocks = int(totals["nb"])
             if n_blocks == 0:
                 return self._empty()
+            # degenerate bound distribution (every block's upper bound
+            # identical — uniformly replicated corpora, WAND's worst
+            # case): θ ≤ max achievable score ≤ that shared bound, so
+            # the kept set is provably ALL blocks and the seed-scoring
+            # pass would be pure waste — bail to the plain path before
+            # paying it (round 6; the same conclusion was previously
+            # reached only after 2-3 extra jobs).  Not under
+            # prune='always' so tests still exercise the full sweep.
+            if not force and n_blocks > 1 and \
+                    float(totals["ub_lo"]) == float(totals["ub_hi"]):
+                return None
             # decode-bytes auto-tune (ROADMAP r03): when the whole
             # candidate set is already small, decoding it outright is
             # cheaper than the seed-scoring pass — skip pruning.  Not
