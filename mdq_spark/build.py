@@ -945,14 +945,10 @@ class IndexBuilder:
     def path(self, name: str) -> str:
         return f"{self.out}/{name}"
 
-    def _ranges_disjoint(self, docs_df: DataFrame) -> bool:
-        """One cheap column-pruned pass over doc_id: do the incoming
-        partitions already hold pairwise-disjoint doc-id ranges?  Then
-        the forward-store range exchange is redundant and the stage
-        writes with a local sort only.  Dense ids from ingest and the
-        driver documents table both qualify; arbitrary inputs (e.g. a
-        compaction's filtered doc set read off bucketless parquet) fall
-        back to the shuffle when the check fails."""
+    def _range_stats(self, docs_df: DataFrame) -> Optional[list]:
+        """One cheap column-pruned pass over doc_id: per-partition
+        (lo, hi, n) spans of the incoming partitions.  Returns None when
+        the probe itself fails (non-file sources that cannot run it)."""
         try:
             stats = (docs_df
                      .select(F.spark_partition_id().alias("_pid"),
@@ -963,9 +959,21 @@ class IndexBuilder:
                           F.count("doc_id").alias("n"))
                      .collect())
         except Exception:
+            return None
+        return [(int(r["lo"]), int(r["hi"]), int(r["n"]))
+                for r in stats if int(r["n"])]
+
+    def _ranges_disjoint(self, docs_df: DataFrame) -> bool:
+        """Do the incoming partitions already hold pairwise-disjoint
+        doc-id ranges?  Then the forward-store range exchange is
+        redundant and the stage writes with a local sort only.  Dense
+        ids from ingest and the driver documents table both qualify;
+        arbitrary inputs (e.g. a compaction's filtered doc set read off
+        bucketless parquet) fall back to the shuffle when it fails."""
+        stats = self._range_stats(docs_df)
+        if stats is None:
             return False
-        spans = sorted((int(r["lo"]), int(r["hi"]))
-                       for r in stats if int(r["n"]))
+        spans = sorted((lo, hi) for lo, hi, _n in stats)
         return all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
 
     def _read_staged(self, path: str) -> DataFrame:
@@ -1018,38 +1026,63 @@ class IndexBuilder:
                 not _stage_current(self.spark, p_docs):
             force = True  # downstream stages derive from this one
             t0 = time.time()
-            # skip only when the input ALSO carries enough partitions to
-            # feed the tokenize stage: a small already-ordered input
-            # (one parquet split) would otherwise funnel the whole
-            # fused tokenize stage through one task.  At scale the
-            # input split count dwarfs the core count, which is exactly
-            # when the corpus-wide shuffle is worth removing.  The
-            # free inputFiles() count pre-filters so the small case
-            # pays neither the RDD-conversion partition probe (~0.4 s)
-            # nor the check job; the fallback shuffle uses an EXPLICIT
-            # 2×parallelism partition count — measured 2.4 s vs 3.5 s
-            # for the implicit count at sf1.0/c32, because AQE
-            # coalesces the range exchange below the core count and
-            # starves the sort+write of parallelism.
+            # The corpus-wide range exchange is skipped whenever the
+            # incoming partitions are VERIFIED to hold pairwise-disjoint
+            # doc-id ranges (one column-pruned doc_id pass) AND the scan
+            # already yields >= parallelism non-empty splits — true at
+            # scale for many-file inputs AND for a single large sorted
+            # file (the default split planner cuts it into
+            # bytes/parallelism ranges, each a contiguous doc-id run).
+            # A small input keeps the shuffle: it costs little there
+            # and MANUFACTURES the write/tokenize parallelism a
+            # one-row-group file cannot provide (measured at 50k
+            # docs/c32: the no-shuffle single-task variant saved ~2 s
+            # in isolation but starved partials and every partials
+            # consumer of splits — net loss on the full build).
+            # Fallback shuffle keeps the EXPLICIT 2×parallelism count —
+            # AQE would coalesce the range exchange below the core
+            # count and starve the sort+write (measured 2.4 s vs 3.5 s).
             par = max(self.spark.sparkContext.defaultParallelism, 1)
             src = None
             try:
-                n_files = len(docs_df.inputFiles())
+                in_files = docs_df.inputFiles()
             except Exception:
-                n_files = 0
-            if n_files >= par and \
-                    docs_df.rdd.getNumPartitions() >= par and \
-                    self._ranges_disjoint(docs_df):
-                src = docs_df
+                in_files = []
+            in_bytes = 0
+            for fp in in_files:
+                p = fp[5:] if fp.startswith("file:") else fp
+                try:
+                    in_bytes += os.path.getsize(p)
+                except OSError:
+                    in_bytes = 0
+                    break
+            # free pre-filter: the probe job only runs when the planner
+            # can plausibly produce >= par splits (many files, or one
+            # big file above par × the 4 MB open-cost floor) — a small
+            # input pays neither the probe nor the old RDD partition
+            # check
+            if in_files and (len(in_files) >= par
+                             or in_bytes >= par * (4 << 20)):
+                stats = self._range_stats(docs_df)
+                if stats is not None and len(stats) >= par:
+                    spans = sorted((lo, hi) for lo, hi, _n in stats)
+                    if all(a[1] < b[0] for a, b in zip(spans, spans[1:])):
+                        src = docs_df
             if src is None:
                 src = docs_df.repartitionByRange(par * 2, "doc_id")
-            # 8 MB row groups keep single large files splittable for
-            # the downstream tokenize scan and make the fetch join's
-            # row-group pruning finer-grained
+            # row groups sized to the corpus: a large build keeps 8 MB
+            # (splittable files, fine fetch-join row-group pruning); a
+            # small no-shuffle build writes ~2×parallelism row groups
+            # so the downstream tokenize scan still splits the few
+            # output files across the cluster (_read_staged plans its
+            # splits at >= 1 MB granularity)
+            blk = 8 << 20
+            if in_bytes:
+                blk = max(256 << 10, min(8 << 20, in_bytes // (par * 2)))
             (src.sortWithinPartitions("doc_id")
              .withColumn("gen", F.lit(0))
              .write.mode("overwrite")
-             .option("parquet.block.size", str(8 << 20))
+             .option("parquet.block.size", str(blk))
              .parquet(p_docs))
             stages.append({"stage": "docs", "sec": time.time() - t0})
         docs = self._read_staged(p_docs)

@@ -279,26 +279,10 @@ def embedding_neardup_pairs_blocked(emb_df: DataFrame,
                  / (np.linalg.norm(c) + 1e-12) for c in cents]
     base = assigned.withColumn("nrm", _norm(F.col("v")))
     # cosine of each member to its own normalized centroid -> radius
-    # r_c = max ||v̂ - ĉ|| = sqrt(2 - 2 min cos)
-    cos_own = None
-    for ci, ch in enumerate(cents_hat):
-        arr = F.array(*[F.lit(float(x)) for x in ch])
-        d = _dot(F.col("v"), arr) / (F.col("nrm") + F.lit(1e-12))
-        cos_own = F.when(F.col("centroid") == ci, d) if cos_own is None \
-            else cos_own.when(F.col("centroid") == ci, d)
-    # persist scoped to the radii collect only (ADVICE r02: a persist
-    # left active leaks executor storage for the session lifetime); the
-    # candidate join below recomputes base's lineage — a cheap
-    # projection + centroid argmin — instead of holding the cache
-    base = base.withColumn("cos_own", cos_own).persist()
-    try:
-        radii = {int(r["centroid"]): float(r["r"]) for r in
-                 base.groupBy("centroid")
-                 .agg(F.sqrt(F.greatest(F.lit(0.0),
-                                        F.lit(2.0) - 2 * F.min("cos_own")))
-                      .alias("r")).collect()}
-    finally:
-        base = base.unpersist()
+    # r_c = max ||v̂ - ĉ|| = sqrt(2 - 2 min cos), via the Arrow kernel
+    # in _centroid_radii (bit-identical to the unrolled column
+    # expression it replaced)
+    radii = _centroid_radii(base, cents_hat)
     d_max = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
     pairs = []
     for i in radii:
@@ -320,6 +304,53 @@ def embedding_neardup_pairs_blocked(emb_df: DataFrame,
     return (cand.select("a", "b", cos.alias("c"))
             .filter(F.col("c") >= threshold)
             .select("a", "b", F.round("c", 4).cast("double").alias("cos")))
+
+
+def _centroid_radii(base: DataFrame, cents_hat) -> dict:
+    """Per-centroid radius r_c = sqrt(2 - 2 min cos(v, ĉ_c)) with the
+    member->own-centroid cosine computed by an Arrow kernel.
+
+    Float semantics are BIT-IDENTICAL to the chained-``F.when`` column
+    expression this replaced (n_centroids x dim unrolled literals —
+    optimizer-hostile at production centroid counts, the same shape
+    ``_assign_kernel`` already replaced): the dot accumulates
+    sequentially over dimensions (the ``aggregate(zip_with(...))``
+    left-fold order), ``nrm`` comes from the SAME Catalyst ``_norm``
+    column, same ``+1e-12`` guard.  Pinned by
+    ``test_neardup_radius_kernel_matches_sql_fold``.  Only (centroid,
+    cos_own) leaves the kernel (guide §4), and the one-job persist is
+    gone with the expression."""
+    cmat = cents_hat
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(x, dtype="float64")
+                          for x in pdf["v"]])
+            nrm = pdf["nrm"].to_numpy(dtype="float64") + 1e-12
+            cent = pdf["centroid"].to_numpy()
+            cos = np.zeros(len(V))
+            for ci, c in enumerate(cmat):
+                sel = cent == ci
+                if not sel.any():
+                    continue
+                Vs = V[sel]
+                acc = np.zeros(len(Vs))
+                for d in range(Vs.shape[1]):
+                    acc = acc + Vs[:, d] * c[d]
+                cos[sel] = acc / nrm[sel]
+            yield pd.DataFrame({"centroid": cent, "cos_own": cos})
+
+    return {int(r["centroid"]): float(r["r"]) for r in
+            base.select("centroid", "v", "nrm")
+            .mapInPandas(fn, "centroid int, cos_own double")
+            .groupBy("centroid")
+            .agg(F.sqrt(F.greatest(F.lit(0.0),
+                                   F.lit(2.0) - 2 * F.min("cos_own")))
+                 .alias("r")).collect()}
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:

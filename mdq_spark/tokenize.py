@@ -326,21 +326,44 @@ _FAST = _re.compile(r"[a-z0-9_]+")
 _LOWER_ASCII = frozenset("abcdefghijklmnopqrstuvwxyz")
 
 
-def chunk_tokens(text: str) -> Iterator[str]:
-    """Token stream identical to ``parse_terms`` but with a fast regex
-    path for trigger-free whitespace chunks.  Two tiers: fully benign
-    chunks skip the lowercase copy; chunks whose only special feature
-    is uppercase (the acronym rule needs an ``X.`` sequence — a plain
-    capitalized word just lowercases) take the regex path over
-    ``chunk.lower()``; everything else runs the exact char loop."""
+def token_list(text: str) -> list[str]:
+    """Token list identical to ``parse_terms`` output but with fast
+    regex paths for trigger-free input.  Three tiers, checked on the
+    WHOLE text first (one C-level search/findall instead of one per
+    whitespace chunk — the common case for clean prose), then per
+    chunk:
+
+    * fully benign (no trigger anywhere): tokens are exactly runs of
+      ``[a-z0-9_]`` — whitespace and all other non-word chars only
+      separate, and no special rule can fire;
+    * upper-ok (uppercase but never ``X.``): same runs over
+      ``.lower()`` — the acronym rule needs an ``X.`` sequence, a
+      plain capitalized word just lowercases;
+    * otherwise the per-chunk split with the same two tiers per chunk
+      and the exact char loop for chunks that trigger.
+
+    The tiers only widen the scope of the same trigger tests (tokens
+    never span whitespace), so equivalence with ``parse_terms`` is
+    property-tested once for all tiers (tests/test_tokenize.py)."""
+    if _TRIGGER.search(text) is None:
+        return _FAST.findall(text)
+    if _TRIGGER_UPPER_OK.search(text) is None:
+        return _FAST.findall(text.lower())
+    out: list[str] = []
+    ext = out.extend
     for chunk in text.split():
         if _TRIGGER.search(chunk) is None:
-            yield from _FAST.findall(chunk)
+            ext(_FAST.findall(chunk))
         elif _TRIGGER_UPPER_OK.search(chunk) is None:
-            yield from _FAST.findall(chunk.lower())
+            ext(_FAST.findall(chunk.lower()))
         else:
-            for tok in parse_terms(chunk):
-                yield tok.term
+            ext(tok.term for tok in parse_terms(chunk))
+    return out
+
+
+def chunk_tokens(text: str) -> Iterator[str]:
+    """Token stream identical to ``parse_terms`` (see token_list)."""
+    return iter(token_list(text))
 
 
 def index_text(
@@ -372,7 +395,8 @@ def index_text(
     if cjk_ngram:
         stream: Iterable[Token] = parse_terms(text, cjk_ngram=True)
     else:
-        stream = (Token(t, True) for t in chunk_tokens(text))
+        # default mode: every token is positional — iterate raw strings
+        stream = (Token(t, True) for t in token_list(text))
     for term, positional, _cjk in stream:
         # byte-length cap; <=16 chars can never exceed 64 UTF-8 bytes
         if len(term) > 16 and \
@@ -506,11 +530,45 @@ def document_term_rows(doc: dict,
     def run(text: str, prefix: str) -> None:
         nonlocal pos, doclen
         zprefix = "Z" + prefix
-        if cjk_ngram:
-            stream: Iterable[Token] = parse_terms(text, cjk_ngram=True)
-        else:
-            stream = (Token(t, True) for t in chunk_tokens(text))
-        for term, positional, _cjk in stream:
+        if not cjk_ngram:
+            # default mode: every token is positional (parse_terms only
+            # emits positional=False for CJK bigrams under the flag), so
+            # iterate the raw token strings — no Token tuples, no
+            # generator bounce on the build hot path.
+            for term in token_list(text):
+                if len(term) > 16 and \
+                        len(term.encode("utf-8")) > MAX_WORD_LENGTH:
+                    continue
+                doclen += 1
+                key = prefix + term
+                pos += 1
+                ent = agg_get(key)
+                if ent is None:
+                    ent = agg[key] = [1, bytearray(), -1]
+                else:
+                    ent[0] += 1
+                v = pos - ent[2] - 1
+                ent[2] = pos
+                buf = ent[1]
+                while v >= 128:
+                    buf.append((v & 0x7F) | 0x80)
+                    v >>= 7
+                buf.append(v)
+                c0 = term[0]
+                if c0 not in lower_ascii and not _should_stem(term):
+                    continue
+                st = _stem(term)
+                if not st:
+                    continue
+                zkey = zprefix + st
+                doclen += 1
+                zent = agg_get(zkey)
+                if zent is None:
+                    agg[zkey] = [1, None, 0]
+                else:
+                    zent[0] += 1
+            return
+        for term, positional, _cjk in parse_terms(text, cjk_ngram=True):
             if len(term) > 16 and \
                     len(term.encode("utf-8")) > MAX_WORD_LENGTH:
                 continue

@@ -294,3 +294,39 @@ def test_ivf_kernel_scales_to_many_centroids(spark):
     assert elapsed < 30, elapsed
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+def test_neardup_radius_kernel_matches_sql_fold(spark):
+    """Round-6 §10.2: the Arrow radius kernel in _centroid_radii must be
+    BIT-IDENTICAL to the chained-F.when unrolled Catalyst expression it
+    replaced — same sequential dot accumulation, same Catalyst nrm
+    column, same +1e-12 guard, so the blocked near-dup candidate set
+    (and the gate entry's hash) cannot move."""
+    import numpy as np
+    from mdq_spark.datapipe import _centroid_radii, _dot, _norm
+
+    rows = [(i, [((i * 29 + d * 5) % 17) / 8.0 - 1.0
+                 for d in range(16)], int(i % 5)) for i in range(300)]
+    base = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, centroid int") \
+        .withColumn("nrm", _norm(F.col("v")))
+    cents_hat = [np.asarray([((c * 13 + d * 7) % 9) / 4.0 - 1.0
+                             for d in range(16)]) for c in range(5)]
+    cents_hat = [c / (np.linalg.norm(c) + 1e-12) for c in cents_hat]
+
+    got = _centroid_radii(base, cents_hat)
+
+    # the pre-change chained-when expression, reconstructed verbatim
+    cos_own = None
+    for ci, ch in enumerate(cents_hat):
+        arr = F.array(*[F.lit(float(x)) for x in ch])
+        d = _dot(F.col("v"), arr) / (F.col("nrm") + F.lit(1e-12))
+        cos_own = F.when(F.col("centroid") == ci, d) if cos_own is None \
+            else cos_own.when(F.col("centroid") == ci, d)
+    want = {int(r["centroid"]): float(r["r"]) for r in
+            base.withColumn("cos_own", cos_own)
+            .groupBy("centroid")
+            .agg(F.sqrt(F.greatest(F.lit(0.0),
+                                   F.lit(2.0) - 2 * F.min("cos_own")))
+                 .alias("r")).collect()}
+    assert got == want  # exact float equality, not approx

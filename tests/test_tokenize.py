@@ -206,3 +206,59 @@ def test_cjk_default_behavior_pinned():
                     ("分词", 2, 1), ("Z分词", None, 1),
                     ("测试", 3, 1), ("Z测试", None, 1)]
     assert pos == 3
+
+
+def test_document_term_rows_matches_document_terms():
+    """The inlined raw-string loop in document_term_rows (round-6
+    tokenizer fast path) must aggregate to exactly what the Token-path
+    reference (document_terms -> per-row emission) produces: same wdf,
+    same LEB128 position-gap blobs, same doclen."""
+    import random
+    from mdq_spark.tokenize import document_term_rows, document_terms
+
+    def reconstruct(doc, cjk=False):
+        rows = document_terms(doc, cjk_ngram=cjk)
+        agg, last = {}, {}
+        for term, pos, wdf in rows:
+            if pos is not None:
+                ent = agg.setdefault(term, [0, bytearray(), -1])
+                ent[0] += wdf
+                v = pos - ent[2] - 1
+                ent[2] = pos
+                while v >= 128:
+                    ent[1].append((v & 0x7F) | 0x80)
+                    v >>= 7
+                ent[1].append(v)
+            else:
+                ent = agg.get(term)
+                if ent is None:
+                    agg[term] = [wdf, None, 0]
+                else:
+                    ent[0] += wdf
+        return agg, len(rows)
+
+    rng = random.Random(7)
+    alphabet = list("abcXYZ019 .,;+#&'_-\t\n()é漢中文​’ P.T.O c++")
+    docs = [
+        {"body": "The quick brown fox jumps over the lazy dog"},
+        {"body": "don't stop c++ and c# at AT&T 3,14", "title": "T"},
+        {"body": "中文 分词 test", "authors": ["alice", "bob"],
+         "tags": ["en", "zh"], "title": "Mixed CASE Title",
+         "subtitle": "sub", "fullpath": "a/b.md", "date": 123456},
+    ] + [{"body": "".join(rng.choice(alphabet)
+                          for _ in range(rng.randrange(0, 200))),
+          "title": "".join(rng.choice(alphabet)
+                           for _ in range(rng.randrange(0, 30))),
+          "authors": ["x"], "tags": ["t"]} for _ in range(60)]
+    for doc in docs:
+        for cjk in (False, True):
+            agg, doclen = document_term_rows(doc, cjk_ngram=cjk)
+            exp_agg, exp_doclen = reconstruct(doc, cjk)
+            assert doclen == exp_doclen, doc
+            assert set(agg) == set(exp_agg), doc
+            for k, ent in agg.items():
+                exp = exp_agg[k]
+                assert ent[0] == exp[0], (doc, k)
+                b1 = None if ent[1] is None else bytes(ent[1])
+                b2 = None if exp[1] is None else bytes(exp[1])
+                assert b1 == b2, (doc, k)
