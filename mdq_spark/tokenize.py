@@ -320,8 +320,17 @@ def _should_stem(term: str) -> bool:
 
 import re as _re
 
-_TRIGGER = _re.compile(r"[^\x00-\x7f]|[A-Z+#&']|\d[.,;]\d")
-_TRIGGER_UPPER_OK = _re.compile(r"[^\x00-\x7f]|[+#&']|\d[.,;]\d|[A-Z]\.")
+# ``+``/``#`` only matter via the trailing-suffix rule, and a suffix is
+# KEPT only when not followed by a word char — so a +/# that IS
+# followed by one is provably dropped and acts as a plain separator,
+# exactly what the findall fast path does.  The negative lookahead
+# therefore only triggers on +/# that could survive as a suffix
+# (end-of-chunk or followed by another non-word char, e.g. "c++").
+# This matters for RFC3339 dates ("...40+00:00"), which would
+# otherwise send every date field through the exact char loop.
+_TRIGGER = _re.compile(r"[^\x00-\x7f]|[A-Z&']|\d[.,;]\d|[+#](?![a-z0-9_])")
+_TRIGGER_UPPER_OK = _re.compile(
+    r"[^\x00-\x7f]|[&']|\d[.,;]\d|[A-Z]\.|[+#](?![A-Za-z0-9_])")
 _FAST = _re.compile(r"[a-z0-9_]+")
 _LOWER_ASCII = frozenset("abcdefghijklmnopqrstuvwxyz")
 
