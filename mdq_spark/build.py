@@ -417,13 +417,15 @@ def _tokenize_encode_batches(n_buckets: int, block_span: int,
     return fn
 
 
-def _termlist_kernel(n_buckets: int):
-    """mapInPandas kernel deriving the forward termlist (the v4
-    ``terms/`` staging rows) back out of partial posting rows: one
-    vectorized decode per batch for doc ids / wdfs / doclens, and
-    per-(doc, term) position blobs recovered as byte SLICES of the
-    run's positions buffer (no position decode — the per-doc layout
-    ``varint(count) + gaps`` is preserved verbatim by concatenation).
+def _termlist_kernel_rows(n_buckets: int):
+    """Row-path termlist derivation (pandas), kept as the FALLBACK for
+    batches the vectorized Arrow kernel cannot prove well-formed (mixed
+    runs whose stored position counts differ from wdf, or >2 GB of
+    positional bytes in one batch): one vectorized decode per batch for
+    doc ids / wdfs / doclens, and per-(doc, term) position blobs
+    recovered as byte SLICES of the run's positions buffer (the
+    per-doc layout ``varint(count) + gaps`` is preserved verbatim by
+    concatenation).
 
     Row content is identical to what ``_tokenize_batches`` used to
     stage (order aside): a run with a NULL positions buffer means every
@@ -500,6 +502,174 @@ def _termlist_kernel(n_buckets: int):
     return fn
 
 
+TERMS_ARROW_SCHEMA = ("term string, bucket int, block long, "
+                      "doc_id long, wdf int, doclen int, positions binary")
+
+
+def _termlist_kernel(n_buckets: int):
+    """mapInArrow kernel deriving the forward termlist out of partial
+    posting rows with NO per-posting Python (round-6: the row-path
+    kernel spent ~70 of the 85 s stage wall at amp1000/c8 in a
+    per-positional-run ``varint_decode`` verification plus per-piece
+    byte slicing — 31.6M Python-level calls for 48M postings).
+
+    Everything is whole-batch numpy / Arrow compute:
+
+    * doc ids / wdfs / doclens: one ``varint_decode`` per column over
+      the binary column's VALUES BUFFER (non-null binary columns
+      concatenate contiguously — no per-row join);
+    * term/bucket/block: one ``take`` with repeated indices;
+    * positions: the output per-(doc, term) pieces exactly TILE the
+      input blob bytes (pieces partition each run's blob, runs are
+      contiguous in row order), so the output binary array REUSES the
+      input values buffer zero-copy — only int32 offsets and the
+      validity bitmap are computed, from the global varint-end index
+      (``flatnonzero(byte < 128)``) under the piece layout
+      ``varint(count=wdf) + wdf gap varints``.
+
+    The layout is VERIFIED before being trusted, with exactly the
+    checks the row path applied per run: each run's total varint count
+    must equal Σ(wdf+1) over its pieces, and each piece's leading count
+    varint must decode to that row's wdf.  Any failure (mixed runs with
+    EMPTY_POSITIONS members) sends the whole batch to the row-path
+    fallback, whose output is byte-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .codec import varint_decode
+
+    rows_fn = _termlist_kernel_rows(n_buckets)
+    out_pa_schema = pa.schema([
+        ("term", pa.string()), ("bucket", pa.int32()),
+        ("block", pa.int64()), ("doc_id", pa.int64()),
+        ("wdf", pa.int32()), ("doclen", pa.int32()),
+        ("positions", pa.binary()),
+    ])
+
+    def _bin_parts(arr):
+        """(byte view, rebased int64 offsets) of a binary array."""
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+            offs[0]: offs[-1]]
+        return data, offs - offs[0], int(offs[0])
+
+    def _fallback(batch):
+        for pdf in rows_fn(iter([batch.to_pandas()])):
+            yield pa.RecordBatch.from_pandas(
+                pdf, schema=out_pa_schema, preserve_index=False)
+
+    def fn(batches) -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            try:
+                out = _fast(batch)
+            except Exception:
+                out = None
+            if out is None:
+                yield from _fallback(batch)
+            else:
+                yield out
+
+    def _fast(batch):
+        if True:  # keep the body's indentation stable
+            ns = batch.column("n").to_numpy().astype(np.int64)
+            nruns = len(ns)
+            total = int(ns.sum())
+            bounds = np.zeros(nruns + 1, dtype=np.int64)
+            np.cumsum(ns, out=bounds[1:])
+            gstarts = bounds[:-1]
+
+            g_dat, _, _ = _bin_parts(batch.column("doc_gaps"))
+            w_dat, _, _ = _bin_parts(batch.column("wdfs"))
+            d_dat, _, _ = _bin_parts(batch.column("doclens"))
+            gaps = varint_decode(g_dat, total).astype(np.int64)
+            wdfs = varint_decode(w_dat, total).astype(np.int64)
+            dls = varint_decode(d_dat, total).astype(np.int64)
+            adj = gaps.copy()
+            adj[1:] += 1
+            adj[gstarts] = gaps[gstarts]
+            cs = np.cumsum(adj)
+            ids = cs - np.repeat(cs[gstarts] - gaps[gstarts], ns)
+
+            pos = batch.column("positions")
+            b_pos, poffs, pbase = _bin_parts(pos)
+            if pos.null_count:
+                run_has = ~pos.is_null().to_numpy(zero_copy_only=False)
+            else:
+                run_has = np.ones(nruns, dtype=bool)
+            # tiling + size preconditions for the zero-copy fast path
+            null_spans = poffs[1:][~run_has] != poffs[:-1][~run_has]
+            if b_pos.size >= (1 << 31) or null_spans.any():
+                return None
+            ends = np.flatnonzero(b_pos < 128)
+            run_wdf_sum = np.add.reduceat(wdfs, gstarts) \
+                if total else np.zeros(nruns, dtype=np.int64)
+            exp_vc = np.where(run_has, run_wdf_sum + ns, 0)
+            vc_start = np.searchsorted(ends, poffs[:-1], side="left")
+            vc_end = np.searchsorted(ends, poffs[1:], side="left")
+            if (vc_end - vc_start != exp_vc).any():
+                return None
+            # per-piece varint spans under the count==wdf layout
+            row_has = np.repeat(run_has, ns)
+            pvc = np.where(row_has, wdfs + 1, 0)
+            cum = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(pvc, out=cum[1:])
+            vidx_start = np.repeat(vc_start - cum[gstarts], ns) + cum[:-1]
+            vidx_end = vidx_start + pvc
+            pb_start = np.where(vidx_start > 0,
+                                ends[np.maximum(vidx_start - 1, 0)] + 1, 0)
+            pb_end = np.where(pvc > 0,
+                              ends[np.maximum(vidx_end - 1, 0)] + 1, 0)
+            # leading count varint of every positional piece must be wdf
+            if row_has.any():
+                sb = pb_start[row_has]
+                first = b_pos[sb]
+                vals = (first & 0x7F).astype(np.uint64)
+                cont = first >= 128
+                j = 1
+                while cont.any() and j < 10:
+                    nb = b_pos[sb[cont] + j]
+                    vals[cont] |= (nb & np.uint64(0x7F)).astype(
+                        np.uint64) << np.uint64(7 * j)
+                    cont2 = np.zeros_like(cont)
+                    cont2[cont] = nb >= 128
+                    cont = cont2
+                    j += 1
+                if (vals != wdfs[row_has].astype(np.uint64)).any():
+                    return None
+            # output offsets: pieces tile the span, so cumulative piece
+            # lengths ARE the piece byte starts; values buffer reused
+            lens = np.where(row_has, pb_end - pb_start, 0)
+            offsets = np.zeros(total + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            validity = np.packbits(row_has, bitorder="little")
+            data_buf = pos.buffers()[2]
+            if data_buf is None:
+                data_buf = pa.py_buffer(b"")
+            else:
+                data_buf = data_buf.slice(pbase, int(b_pos.size))
+            pos_out = pa.Array.from_buffers(
+                pa.binary(), total,
+                [pa.py_buffer(validity.tobytes()),
+                 pa.py_buffer(offsets.tobytes()), data_buf],
+                null_count=int(total - int(row_has.sum())))
+
+            idx = pa.array(np.repeat(np.arange(nruns), ns), pa.int64())
+            return pa.RecordBatch.from_arrays([
+                batch.column("term").take(idx),
+                batch.column("bucket").take(idx),
+                batch.column("block").take(idx),
+                pa.array(ids, pa.int64()),
+                pa.array(wdfs.astype(np.int32)),
+                pa.array(dls.astype(np.int32)),
+                pos_out,
+            ], schema=out_pa_schema)
+
+    return fn
+
+
 def _docstats_kernel():
     """mapInArrow kernel: partial posting rows -> distinct (doc_id,
     doclen) pairs per batch (the doclen is denormalized identically on
@@ -520,10 +690,17 @@ def _docstats_kernel():
             bounds = np.zeros(len(ns) + 1, dtype=np.int64)
             np.cumsum(ns, out=bounds[1:])
             gstarts = bounds[:-1]
-            g_bufs = batch.column("doc_gaps").to_pylist()
-            d_bufs = batch.column("doclens").to_pylist()
-            gaps = varint_decode(b"".join(g_bufs), total).astype(np.int64)
-            dls = varint_decode(b"".join(d_bufs), total).astype(np.int64)
+            # zero-copy concat: non-null binary columns' values buffers
+            # ARE the concatenation (same trick as _termlist_kernel)
+            def _vals(arr):
+                offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                    arr.offset: arr.offset + len(arr) + 1]
+                return np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+                    offs[0]: offs[-1]]
+            gaps = varint_decode(_vals(batch.column("doc_gaps")),
+                                 total).astype(np.int64)
+            dls = varint_decode(_vals(batch.column("doclens")),
+                                total).astype(np.int64)
             adj = gaps.copy()
             adj[1:] += 1
             adj[gstarts] = gaps[gstarts]
@@ -1156,8 +1333,8 @@ class IndexBuilder:
             cols = ["term", "bucket", "block", "n", "doc_gaps",
                     "wdfs", "doclens", "positions"]
             (part0.select(*cols)
-             .mapInPandas(_termlist_kernel(self.n_buckets),
-                          schema=TERMS_SCHEMA)
+             .mapInArrow(_termlist_kernel(self.n_buckets),
+                         schema=TERMS_SCHEMA)
              .withColumn("gen", F.lit(0))
              .write.mode("overwrite").parquet(p_terms))
             record("terms", time.time() - t0)

@@ -73,9 +73,11 @@ def varint_encode_offsets(values) -> tuple[bytes, np.ndarray]:
     return out[mask].tobytes(), offsets
 
 
-def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
-    """Decode LEB128 buffer -> uint64 array."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+def varint_decode(buf, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 buffer (bytes-like or uint8 ndarray) -> uint64
+    array."""
+    b = buf if isinstance(buf, np.ndarray) \
+        else np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
     ends = np.flatnonzero(b < 128)

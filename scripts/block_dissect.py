@@ -58,8 +58,8 @@ def main() -> None:
     cols = ["term", "bucket", "block", "n", "doc_gaps",
             "wdfs", "doclens", "positions"]
     tl = (part0.select(*cols)
-          .mapInPandas(_termlist_kernel(DEFAULT_N_BUCKETS),
-                       schema=TERMS_SCHEMA)
+          .mapInArrow(_termlist_kernel(DEFAULT_N_BUCKETS),
+                      schema=TERMS_SCHEMA)
           .withColumn("gen", F.lit(0)))
     t("termlist: kernel noop", lambda: noop(tl))
     t("termlist: kernel + write",

@@ -722,3 +722,69 @@ def test_partial_resume_reruns_only_missing_stage(spark, index, tmp_path):
         .select("term", "block", "n").collect())
     assert after == before
     assert m2["metrics"]["n_postings"] == m1["metrics"]["n_postings"]
+
+
+def test_termlist_arrow_kernel_matches_row_kernel():
+    """Round-6: the vectorized Arrow termlist kernel must be
+    byte-identical to the row-path kernel it replaced — including a
+    MIXED run (stored position count != wdf via an EMPTY_POSITIONS
+    member), which must take the verified fallback and map the 1-byte
+    empty encoding back to NULL."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from mdq_spark.build import _termlist_kernel, _termlist_kernel_rows
+    from mdq_spark.codec import EMPTY_POSITIONS
+
+    def varint(v):
+        out = bytearray()
+        while v >= 128:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+        return bytes(out)
+
+    def run_row(term, bucket, block, ids, wdfs, dls, pieces):
+        gaps = [ids[0]] + [b - a - 1 for a, b in zip(ids, ids[1:])]
+        return {
+            "term": term, "bucket": bucket, "block": block,
+            "n": len(ids),
+            "doc_gaps": b"".join(varint(g) for g in gaps),
+            "wdfs": b"".join(varint(w) for w in wdfs),
+            "doclens": b"".join(varint(d) for d in dls),
+            "positions": pieces,
+        }
+
+    def pos_piece(gaps):
+        return varint(len(gaps)) + b"".join(varint(g) for g in gaps)
+
+    rows = [
+        # plain positional run, multi-byte wdf varint included
+        run_row("alpha", 3, 0, [1, 5, 9], [2, 200, 1], [10, 12, 9],
+                pos_piece([0, 3]) + pos_piece(list(range(200)))
+                + pos_piece([7])),
+        # non-positional run (Z-stems): NULL blob
+        run_row("Zbeta", 1, 0, [2, 3], [1, 4], [8, 11], None),
+        # MIXED run: second member is EMPTY_POSITIONS (count 0 != wdf 5)
+        run_row("gamma", 2, 0, [4, 6], [1, 5], [7, 7],
+                pos_piece([2]) + EMPTY_POSITIONS),
+    ]
+    pdf = pd.DataFrame(rows)
+    batch = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+    new = pa.Table.from_batches(
+        list(_termlist_kernel(8)(iter([batch])))).to_pandas()
+    old = pd.concat(list(_termlist_kernel_rows(8)(iter([pdf]))),
+                    ignore_index=True)
+    key = ["term", "block", "doc_id"]
+    new = new.sort_values(key).reset_index(drop=True)
+    old = old.sort_values(key).reset_index(drop=True)
+    assert len(new) == len(old) == 7
+    for c in ["term", "bucket", "block", "doc_id", "wdf", "doclen"]:
+        assert list(new[c]) == list(old[c]), c
+    npos = [None if b is None else bytes(b) for b in new["positions"]]
+    opos = [None if b is None else bytes(b) for b in old["positions"]]
+    assert npos == opos
+    # the EMPTY_POSITIONS member must surface as NULL in both
+    g = new[new["term"] == "gamma"].sort_values("doc_id")
+    assert list(g["positions"].map(lambda b: b is None)) == [False, True]
