@@ -1279,7 +1279,11 @@ class IndexBuilder:
             force = True
             t0 = time.time()
             pobs = Observation("partstats")
-            (docs.drop("gen")
+            # ship only the columns the tokenizer reads (guide §4):
+            # sha256/weight/writes/views never cross the Arrow boundary
+            tok_cols = ["doc_id", "authors", "date", "fullpath",
+                        "title", "subtitle", "tags", "body"]
+            (docs.select(*tok_cols)
              .mapInPandas(
                  _tokenize_encode_batches(self.n_buckets, self.block_span,
                                           self.mode, self.cjk_ngram),
